@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Reshaping operators: explode / split / replicate / pivot / transpose
+ * (reference: dataframe.py §2.8 — explode DF:4167-4290, split_str
+ * DF:5257-5299, replicate_rows DF:4131-4162, reverse_transpose
+ * DF:4791-4818, transpose DF:4767-4788, flatmap DF:4820-4845).
+ *
+ * Design difference from the reference: the reference discovers the
+ * output schema by scanning the produced maps (DF:4198-4209), which needs
+ * full materialization. Here generators declare their output schema so
+ * the plan stays lazy and distributed; a schema-probing variant would
+ * need two passes by construction.
+ */
+object Reshape {
+
+  /** Generic UDTF: one row in, many rows out, via a declared-schema
+    * generator. Spark-side this is a `flatMap` on Dataset[Row] — stays
+    * fully distributed, no driver involvement. */
+  def explodeRows(df: DataFrame, gen: Row => IterableOnce[Row],
+                  outSchema: StructType): DataFrame =
+    df.flatMap(gen)(Encoders.row(outSchema))
+
+  /** Split N string cols by `sep` into aligned row fan-out
+    * (dataframe.py:5257-5299): arrays_zip keeps positions aligned, and
+    * the reference's equal-length validation is implicit (zip pads with
+    * null → surfaced as null cells). */
+  def splitStr(df: DataFrame, cols: Seq[String], sep: String,
+               prefix: String): DataFrame = {
+    val zipped = arrays_zip(cols.map(c =>
+      split(col(c), java.util.regex.Pattern.quote(sep)).as(c)): _*)
+    val tmp = df.withColumn("__split__", explode(zipped))
+    val withCols = cols.zipWithIndex.foldLeft(tmp) { case (d, (c, i)) =>
+      d.withColumn(s"$prefix:$c", col("__split__").getField(c))
+    }
+    withCols.drop("__split__")
+  }
+
+  /** Per-value list fan-out from a Column expression producing an array
+    * (dataframe.py:4820-4845 `flatmap`). */
+  def flatmapCol(df: DataFrame, arrayExpr: Column, newCol: String): DataFrame =
+    df.withColumn(newCol, explode(arrayExpr))
+
+  /** Repeat each row `int(col)` times, capped at maxRepl
+    * (dataframe.py:4131-4162). explode(sequence) — no driver loop. */
+  def replicateRows(df: DataFrame, countCol: String, maxRepl: Int = 10000): DataFrame = {
+    val n = least(col(countCol).cast(LongType), lit(maxRepl.toLong))
+    df.withColumn("__repl__", explode_outer(
+        when(n >= 1, sequence(lit(1L), n)).otherwise(array())))
+      .filter(col("__repl__").isNotNull)
+      .drop("__repl__")
+  }
+
+  /** Pivot — the reference's `reverse_transpose` (dataframe.py:4791-4818)
+    * builds it from iterated joins; Spark's groupBy().pivot() is one
+    * shuffle. Output columns `valcol:{keycol}:{value}` per reference
+    * naming. Pass `values` when known to skip the distinct-scan job. */
+  def reverseTranspose(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                       valCol: String, values: Seq[String] = Nil,
+                       aggFunc: String = "first"): DataFrame = {
+    val g = df.groupBy(groupCols.map(col): _*)
+    val p = if (values.nonEmpty) g.pivot(keyCol, values) else g.pivot(keyCol)
+    val out = p.agg(AggRegistry.expr(aggFunc, col(valCol)))
+    val renames = out.columns.filterNot(groupCols.contains)
+    renames.foldLeft(out)((d, c) =>
+      d.withColumnRenamed(c, s"$valCol:$keyCol:$c"))
+  }
+
+  /** Display transpose of the first n rows: (col_name, row:1..n)
+    * (dataframe.py:4767-4788). Driver-side by design — display utility. */
+  def transpose(df: DataFrame, n: Int): DataFrame = {
+    val rows = df.limit(n).collect()
+    val header = df.columns
+    val out = header.map { c =>
+      Row.fromSeq(c +: rows.map(r => Option(r.get(header.indexOf(c))).map(_.toString).getOrElse("")).toSeq)
+    }
+    val schema = StructType(
+      StructField("col_name", StringType) +:
+        rows.indices.map(i => StructField(s"row:${i + 1}", StringType)))
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+}

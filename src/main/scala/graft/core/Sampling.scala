@@ -1,0 +1,115 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/**
+ * Sampling family (reference: dataframe.py:2831-3325, 3929-4054,
+ * utils.py:601-618).
+ *
+ * Determinism model: the reference seeds Python's RNG and murmur3 row
+ * hashes. Here, hash-gated ops use a deterministic per-row hash
+ * (`pmod(xxhash64(keys, seed), M) < ratio*M`) — the same decision on every
+ * run, every cluster size, and every partitioning, which is the property
+ * the reference's seeding actually provides. Shuffle-style ops use Spark's
+ * seeded `rand`/`sample` (deterministic per seed, not bit-identical to
+ * CPython's Mersenne Twister — asserted statistically in tests).
+ */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Deterministic hash gate: keep row iff hash(keys, seed) lands in the
+    * first `ratio` fraction of hash space. */
+  def hashGate(keys: Seq[Column], seed: Long, ratio: Double): Column =
+    pmod(xxhash64(keys :+ lit(seed): _*), lit(M)) < (ratio * M).toLong
+
+  /** Bernoulli row sample (dataframe.py:2831-2858). */
+  def sample(df: DataFrame, ratio: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, ratio, seed)
+
+  /** Exact-n sample (dataframe.py:2868-2909): global sort by seeded rand —
+    * one shuffle of n survivors via takeOrdered-style limit. */
+  def sampleN(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** Downsample only rows of one class, others untouched
+    * (dataframe.py:2984-3021). Hash-gated → deterministic. */
+  def sampleClass(df: DataFrame, classCol: String, value: String,
+                  ratio: Double, seed: Long, gateCols: Seq[String]): DataFrame =
+    df.filter(col(classCol).cast(StringType) =!= value ||
+      hashGate(gateCols.map(col), seed, ratio))
+
+  /** All-or-nothing group sampling by key hash (dataframe.py:3241-3276). */
+  def sampleGroupByKey(df: DataFrame, groupCols: Seq[String], ratio: Double,
+                       seed: Long): DataFrame =
+    df.filter(hashGate(groupCols.map(col), seed, ratio))
+
+  /** Cap distinct values of `col` per group — exact variant
+    * (dataframe.py:3081-3142): dense_rank over hashed value within group. */
+  def sampleGroupByMaxUniqValues(df: DataFrame, groupCols: Seq[String],
+                                 valCol: String, maxUniq: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(xxhash64(col(valCol), lit(seed)), col(valCol))
+    df.withColumn("__dr__", dense_rank().over(w))
+      .filter(col("__dr__") <= maxUniq).drop("__dr__")
+  }
+
+  /** Approx variant (dataframe.py:3144-3189): scale sampling ratio by the
+    * group's approx distinct count — single pass + broadcast-joined ratios. */
+  def sampleGroupByMaxUniqValuesApprox(df: DataFrame, groupCols: Seq[String],
+                                       valCol: String, maxUniq: Int,
+                                       seed: Long): DataFrame = {
+    val ratios = df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valCol)).as("__uniq__"))
+      .withColumn("__ratio__",
+        when(col("__uniq__") <= maxUniq, lit(1.0))
+          .otherwise(lit(maxUniq.toDouble) / col("__uniq__")))
+      .drop("__uniq__")
+    df.join(broadcast(ratios), groupCols, "inner")
+      .filter(pmod(xxhash64(col(valCol), lit(seed)), lit(M)).cast(DoubleType) < col("__ratio__") * M)
+      .drop("__ratio__")
+  }
+
+  /** Balance classes down to the minority class count
+    * (dataframe.py:3299-3312). */
+  def sampleClassByMinClassCount(df: DataFrame, classCol: String, seed: Long): DataFrame = {
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n__"))
+    val minN = counts.agg(min("__n__")).head().getLong(0)
+    sampleClassByMaxValues(df, classCol, minN.toInt, seed)
+  }
+
+  /** Cap each class at n rows (dataframe.py:3314-3325). */
+  def sampleClassByMaxValues(df: DataFrame, classCol: String, n: Int,
+                             seed: Long): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n).drop("__rn__")
+  }
+
+  /** Global distinct-value cap via semi-join against a sampled distinct
+    * list (dataframe.py:3278-3297). */
+  def sampleColumnByMaxUniqValues(df: DataFrame, valCol: String, maxUniq: Int,
+                                  seed: Long): DataFrame = {
+    val keep = df.select(valCol).distinct()
+      .orderBy(xxhash64(col(valCol), lit(seed))).limit(maxUniq)
+    df.join(broadcast(keep), Seq(valCol), "left_semi")
+  }
+
+  /** Hash-partition into n batches by key cols (dataframe.py:3929-4054).
+    * Returns a partition-id column rather than n materialized DFs — the
+    * caller filters; at scale this is `repartition(n, keys)` territory. */
+  def splitBatchesCol(df: DataFrame, cols: Seq[String], n: Int, seed: Long): DataFrame =
+    df.withColumn("__batch__", pmod(xxhash64(cols.map(col) :+ lit(seed): _*), lit(n.toLong)))
+
+  def splitBatches(df: DataFrame, cols: Seq[String], n: Int, seed: Long): Seq[DataFrame] = {
+    val tagged = splitBatchesCol(df, cols, n, seed)
+    (0 until n).map(i => tagged.filter(col("__batch__") === i).drop("__batch__"))
+  }
+
+  /** Seeded shuffle (utils.py:601-618). */
+  def randomShuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
+}

@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Windows & time series (reference: dataframe.py:638-729 window_aggregate;
+ * §2.12).
+ *
+ * The reference windows over the *sorted distinct values* of the window
+ * column (not raw rows): tumbling chunks of `winsize` distinct values, or
+ * sliding windows replicating each row into every window containing it.
+ * For time-typed columns the idiomatic Spark mapping is `window(ts, ...)`
+ * (tumbling) / duplicated membership via slide (sliding) — both below.
+ */
+object WindowOps {
+
+  /** Tumbling time window aggregate: groups by `window(ts, size)` plus
+    * optional keys. Map-side partial agg + one shuffle. */
+  def tumblingTimeAggregate(df: DataFrame, tsCol: String, size: String,
+                            keys: Seq[String], aggCols: Seq[String],
+                            aggFuncs: Seq[String]): DataFrame = {
+    val exprs = aggCols.zip(aggFuncs).map { case (c, f) =>
+      AggRegistry.expr(f, col(c)).as(AggRegistry.outputName(c, f)) }
+    val g = df.groupBy(window(col(tsCol), size) +: keys.map(col): _*)
+    g.agg(exprs.head, exprs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /** Sliding time window aggregate — rows replicated into every window
+    * they fall in, exactly the reference's sliding semantics
+    * (dataframe.py:674-678, 711-715). */
+  def slidingTimeAggregate(df: DataFrame, tsCol: String, size: String,
+                           slide: String, keys: Seq[String],
+                           aggCols: Seq[String], aggFuncs: Seq[String]): DataFrame = {
+    val exprs = aggCols.zip(aggFuncs).map { case (c, f) =>
+      AggRegistry.expr(f, col(c)).as(AggRegistry.outputName(c, f)) }
+    val g = df.groupBy(window(col(tsCol), size, slide) +: keys.map(col): _*)
+    g.agg(exprs.head, exprs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /**
+   * Reference-faithful `window_aggregate`: tumbling count-based windows
+   * over the sorted DISTINCT values of `winCol` (dataframe.py:655-672),
+   * window label = "first - last" of the value range (dataframe.py:713).
+   *
+   * Distributed shape: dense_rank over distinct values gives each value
+   * its ordinal; `floor((rank-1)/winsize)` is its tumbling window id; the
+   * label is the min/max value within the window. Two shuffles total
+   * (rank + final agg) regardless of data size.
+   */
+  def windowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
+                      aggFuncs: Seq[String], winSize: Int): DataFrame = {
+    val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()
+      .withColumn("__ord__",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))))
+      .withColumn("__win__", floor((col("__ord__") - 1) / winSize))
+      .drop("__ord__")
+    val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
+      .join(broadcast(distinctVals), Seq(winCol), "inner")
+    val label = concat_ws(" - ", min(col(winCol)), max(col(winCol)))
+    val exprs = label.as(s"$winCol:window") +:
+      aggCols.zip(aggFuncs).map { case (c, f) =>
+        AggRegistry.expr(f, col(c)).as(AggRegistry.outputName(c, f)) }
+    tagged.groupBy(col("__win__")).agg(exprs.head, exprs.tail: _*).drop("__win__")
+  }
+}

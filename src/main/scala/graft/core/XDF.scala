@@ -1,0 +1,560 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/**
+ * XDF — the fluent, immutable query surface mirroring the reference
+ * `DataFrame` verb set (reference: python-packages/core/src/omigo_core/
+ * dataframe.py). Every verb compiles to lazy Catalyst expressions on one
+ * underlying `DataFrame`; nothing materializes until an action. That single
+ * design change removes the reference's O(rows x steps) eager copying and
+ * is what lets the identical API run on a 1000-executor cluster.
+ *
+ * Column-name conventions preserved: `:` namespacing, regex column
+ * selection, `inputcol:funcname` aggregate outputs.
+ */
+case class XDF(df: DataFrame) {
+
+  private def header: Seq[String] = df.columns.toSeq
+  private def res(cols: Seq[String]): Seq[String] = ColumnResolver.resolve(cols, header)
+  private def res1(col: String): Seq[String] = ColumnResolver.resolve(Seq(col), header)
+
+  def toDF: DataFrame = df
+  def numRows(): Long = df.count()
+  def numCols: Int = df.columns.length
+  def getHeader: Seq[String] = header
+
+  // ===== §2.2 Projections / column ops =====
+
+  /** Regex-capable projection (dataframe.py:120-162). */
+  def select(cols: String*): XDF = XDF(df.select(res(cols).map(df.col): _*))
+
+  /** Exclusion projection (dataframe.py:164-182). */
+  def notSelect(cols: String*): XDF =
+    XDF(df.select(ColumnResolver.resolveNot(cols, header).map(df.col): _*))
+
+  /** Select, creating missing plain columns as "" (dataframe.py:167-179). */
+  def selectAndAddEmptyColsIfMissing(cols: String*): XDF = {
+    val withMissing = cols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c) || ColumnResolver.isPattern(c)) d
+      else d.withColumn(c, lit(""))
+    }
+    XDF(withMissing).select(cols: _*)
+  }
+
+  def dropCols(cols: String*): XDF = {
+    val toDrop = ColumnResolver.resolve(cols, header, ignoreIfMissing = false)
+    XDF(df.drop(toDrop: _*))
+  }
+
+  def dropColsIfExists(cols: String*): XDF = {
+    val toDrop = ColumnResolver.resolve(cols, header, ignoreIfMissing = true)
+    XDF(df.drop(toDrop: _*))
+  }
+
+  def dropColsWithPrefix(prefix: String): XDF =
+    XDF(df.drop(header.filter(ColumnResolver.hasPrefix(_, prefix)): _*))
+
+  def dropColsWithSuffix(suffix: String): XDF =
+    XDF(df.drop(header.filter(ColumnResolver.hasSuffix(_, suffix)): _*))
+
+  def dropColsWithPrefixExcept(prefix: String, keep: String*): XDF =
+    XDF(df.drop(header.filter(c =>
+      ColumnResolver.hasPrefix(c, prefix) && !keep.contains(c)): _*))
+
+  /** Drop columns whose every value is "" / null. One aggregate pass
+    * instead of the reference's per-column scans (dataframe.py:553-594). */
+  def dropEmptyCols(): XDF = {
+    val aggs = header.map(c =>
+      max(when(col(c).cast(StringType) =!= "", 1).otherwise(0)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val empty = header.zipWithIndex.collect { case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c }
+    XDF(df.drop(empty: _*))
+  }
+
+  /** Drop rows whose every field is "" (dataframe.py:618-635). */
+  def dropEmptyRows(): XDF =
+    XDF(df.filter(concat_ws("", header.map(c => col(c).cast(StringType)): _*) =!= ""))
+
+  def rename(from: String, to: String): XDF = XDF(df.withColumnRenamed(from, to))
+
+  private def renameAll(f: String => String): XDF =
+    XDF(df.toDF(header.map(f): _*))
+
+  /** Namespace renames (dataframe.py:2588-2830). Pure driver-side name
+    * algebra — zero cost in the physical plan (projection only). */
+  def addPrefix(prefix: String, cols: Seq[String] = null): XDF = {
+    val target = if (cols == null) header else res(cols)
+    renameAll(c => if (target.contains(c)) ColumnResolver.withPrefix(c, prefix) else c)
+  }
+
+  def addSuffix(suffix: String, cols: Seq[String] = null): XDF = {
+    val target = if (cols == null) header else res(cols)
+    renameAll(c => if (target.contains(c)) ColumnResolver.withSuffix(c, suffix) else c)
+  }
+
+  def removePrefix(prefix: String): XDF =
+    renameAll(c => ColumnResolver.stripPrefix(c, prefix))
+
+  def removeSuffix(suffix: String): XDF =
+    renameAll(c => ColumnResolver.stripSuffix(c, suffix))
+
+  def renamePrefix(oldP: String, newP: String): XDF =
+    renameAll(c => if (ColumnResolver.hasPrefix(c, oldP))
+      ColumnResolver.withPrefix(ColumnResolver.stripPrefix(c, oldP), newP) else c)
+
+  def renameSuffix(oldS: String, newS: String): XDF =
+    renameAll(c => if (ColumnResolver.hasSuffix(c, oldS))
+      ColumnResolver.withSuffix(ColumnResolver.stripSuffix(c, oldS), newS) else c)
+
+  /** Move matching cols to the front (dataframe.py:2087-2145). */
+  def reorder(cols: String*): XDF = {
+    val front = res(cols)
+    XDF(df.select((front ++ header.filterNot(front.contains)).map(df.col): _*))
+  }
+
+  /** Move matching cols to the back (dataframe.py:2147-2158). */
+  def reverseReorder(cols: String*): XDF = {
+    val back = res(cols)
+    XDF(df.select((header.filterNot(back.contains) ++ back).map(df.col): _*))
+  }
+
+  def copyCol(from: String, to: String): XDF = XDF(df.withColumn(to, col(from)))
+
+  def addConst(name: String, value: Any): XDF = XDF(df.withColumn(name, lit(value)))
+
+  def addConstIfMissing(name: String, value: Any): XDF =
+    if (header.contains(name)) this else addConst(name, value)
+
+  def addEmptyColsIfMissing(cols: String*): XDF =
+    XDF(cols.foldLeft(df)((d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(""))))
+
+  def assignValue(name: String, value: Any): XDF = XDF(df.withColumn(name, lit(value)))
+
+  /** 1-based sequence number, prepended (dataframe.py:1707-1729).
+    * Ordered by `orderCols` to be deterministic under parallelism; a
+    * single unpartitioned window — use only where the reference's global
+    * row numbering is genuinely wanted. */
+  def addSeqNum(name: String = "sno", orderCols: Seq[String]): XDF = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    XDF(df.withColumn(name, row_number().over(w))).reorder(name)
+  }
+
+  /** Append one literal row (dataframe.py:2499-2528). */
+  def addRow(values: Seq[Any]): XDF = {
+    require(values.length == header.length, "row width mismatch")
+    val schema = df.schema
+    val coerced = values.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) }
+    val one = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(coerced)), schema)
+    XDF(df.union(one))
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, LongType) => s.toLong
+    case (s: String, IntegerType) => s.toInt
+    case (s: String, DoubleType) => s.toDouble
+    case (x, StringType) => x.toString
+    case (x, _) => x
+  }
+
+  // ===== §2.3 Filters =====
+
+  def where(cond: Column): XDF = XDF(df.filter(cond))
+  def filterCond(cond: Column): XDF = where(cond)
+
+  /** Apply a predicate over every column matching the pattern, OR-folded
+    * when anyMatch, AND-folded otherwise. Backs the multi-col exists
+    * family (dataframe.py:1211-1317). */
+  def filterAnyCols(cols: Seq[String], pred: Column => Column): XDF =
+    XDF(df.filter(res(cols).map(c => pred(col(c))).reduce(_ || _)))
+
+  def filterAllCols(cols: Seq[String], pred: Column => Column): XDF =
+    XDF(df.filter(res(cols).map(c => pred(col(c))).reduce(_ && _)))
+
+  private def allMatched(cols: Seq[String], mk: Column => Column): Column =
+    res(cols).map(c => mk(col(c))).reduce(_ && _)
+
+  // equality family (dataframe.py:272-303); eq_int parses int(float(x))
+  def eqStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) === v))
+  def notEqStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) =!= v))
+  def eqInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) === v))
+  def notEqInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) =!= v))
+  def eqFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) === v))
+  def notEqFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) =!= v))
+
+  // comparison family (dataframe.py:318-384)
+  def ltInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) < v))
+  def leInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) <= v))
+  def gtInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) > v))
+  def geInt(c: String, v: Long): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) >= v))
+  def ltFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) < v))
+  def leFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) <= v))
+  def gtFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) > v))
+  def geFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) >= v))
+  def ltStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) < v))
+  def gtStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) > v))
+
+  // zero / empty (dataframe.py:305-316, 402-408)
+  def isNonzeroInt(c: String): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) =!= 0))
+  def isNonzeroFloat(c: String): XDF = where(allMatched(Seq(c), _.cast(DoubleType) =!= 0.0))
+  def isEmptyStr(c: String): XDF = where(allMatched(Seq(c), x => x.isNull || x.cast(StringType) === ""))
+  def isNonemptyStr(c: String): XDF = where(allMatched(Seq(c), x => x.isNotNull && x.cast(StringType) =!= ""))
+
+  // membership (dataframe.py:248-254)
+  def valuesIn(c: String, vs: Seq[Any]): XDF = where(allMatched(Seq(c), _.isin(vs: _*)))
+  def valuesNotIn(c: String, vs: Seq[Any]): XDF = where(allMatched(Seq(c), !_.isin(vs: _*)))
+
+  // regex — Python re.match anchors at start (dataframe.py:256-270)
+  def regexMatch(c: String, pat: String): XDF =
+    where(allMatched(Seq(c), _.cast(StringType).rlike("^" + pat)))
+  def notRegexMatch(c: String, pat: String): XDF =
+    where(allMatched(Seq(c), !_.cast(StringType).rlike("^" + pat)))
+
+  // affix (dataframe.py:386-400)
+  def startswith(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType).startsWith(v)))
+  def notStartswith(c: String, v: String): XDF = where(allMatched(Seq(c), !_.cast(StringType).startsWith(v)))
+  def endswith(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType).endsWith(v)))
+  def notEndswith(c: String, v: String): XDF = where(allMatched(Seq(c), !_.cast(StringType).endsWith(v)))
+
+  // ===== §2.4 Row-level transforms =====
+
+  /** Append a derived column from a Column expression — the preferred,
+    * codegen-friendly `transform` (dataframe.py:1319-1472 is a Python
+    * lambda dispatcher; expressions keep whole-stage codegen intact). */
+  def transform(newCol: String, e: Column): XDF = XDF(df.withColumn(newCol, e))
+
+  /** In-place transform over all columns matching patterns
+    * (dataframe.py:1474-1515). */
+  def transformInline(cols: Seq[String], f: Column => Column): XDF =
+    XDF(res(cols).foldLeft(df)((d, c) => d.withColumn(c, f(col(c)))))
+
+  def transformInlineLog(cols: String*): XDF = transformInline(cols, c => log(c.cast(DoubleType)))
+  def transformInlineLog2(cols: String*): XDF = transformInline(cols, c => log2(c.cast(DoubleType)))
+  def transformInlineLog10(cols: String*): XDF = transformInline(cols, c => log10(c.cast(DoubleType)))
+  def transformInlineLog1p(cols: String*): XDF = transformInline(cols, c => log1p(c.cast(DoubleType)))
+
+  /** x/y with zero-denominator default (dataframe.py:440-448). */
+  def ratio(newCol: String, num: String, den: String, default: Double = 0.0): XDF =
+    transform(newCol,
+      when(col(den).cast(DoubleType) === 0.0, lit(default))
+        .otherwise(col(num).cast(DoubleType) / col(den).cast(DoubleType)))
+
+  def ratioConst(newCol: String, num: String, denConst: Double, default: Double = 0.0): XDF =
+    transform(newCol,
+      if (denConst == 0.0) lit(default) else col(num).cast(DoubleType) / lit(denConst))
+
+  /** Fixed-point formatting (dataframe.py:452-454). format_string, not
+    * format_number — the latter inserts thousands separators. */
+  def applyPrecision(c: String, p: Int): XDF =
+    transformInline(Seq(c), x => format_string(s"%.${p}f", x.cast(DoubleType)))
+
+  def toInt(cols: String*): XDF = transformInline(cols, _.cast(DoubleType).cast(LongType))
+  def toNumeric(cols: String*): XDF = transformInline(cols, _.cast(DoubleType))
+
+  def capMinInline(c: String, v: Double): XDF =
+    transformInline(Seq(c), x => greatest(x.cast(DoubleType), lit(v)))
+  def capMaxInline(c: String, v: Double): XDF =
+    transformInline(Seq(c), x => least(x.cast(DoubleType), lit(v)))
+
+  def replaceStrInline(cols: Seq[String], from: String, to: String): XDF =
+    transformInline(cols, x =>
+      regexp_replace(x.cast(StringType), java.util.regex.Pattern.quote(from), to))
+
+  def setMissingValues(cols: Seq[String], default: String): XDF =
+    transformInline(cols, x =>
+      when(x.isNull || x.cast(StringType) === "", default).otherwise(x.cast(StringType)))
+
+  def urlEncodeInline(cols: String*): XDF = transformInline(cols, x => url_encode(x.cast(StringType)))
+  def urlDecodeInline(cols: String*): XDF = transformInline(cols, x => url_decode(x.cast(StringType)))
+  def base64EncodeInline(cols: String*): XDF =
+    transformInline(cols, x => base64(x.cast(StringType).cast(BinaryType)))
+  def base64DecodeInline(cols: String*): XDF =
+    transformInline(cols, x => unbase64(x.cast(StringType)).cast(StringType))
+
+  /** Deterministic row key hash over concatenated cols
+    * (dataframe.py:4056-4089; murmur3-64 in the reference, xxhash64 here —
+    * same contract: stable, uniform, cheap, codegen'd). */
+  def generateKeyHash(newCol: String, cols: Seq[String]): XDF =
+    transform(newCol, abs(xxhash64(res(cols).map(c => col(c).cast(StringType)): _*)))
+
+  /** Fill `{colname}` placeholders in a template column from row values
+    * (dataframe.py:5321-5381). */
+  def resolveTemplateCol(templateCol: String, newCol: String): XDF = {
+    val filled = header.foldLeft(col(templateCol).cast(StringType)) { (acc, c) =>
+      regexp_replace(acc, lit(java.util.regex.Pattern.quote(s"{$c}")), col(c).cast(StringType))
+    }
+    transform(newCol, filled)
+  }
+
+  // ===== §2.6 Aggregations =====
+
+  /**
+   * Hash aggregation with the reference's naming convention: output col
+   * `aggcol:funcname` (dataframe.py:977-1126).
+   *
+   * collapse = true  -> one row per group: `groupBy(keys).agg(...)` —
+   *                     partial map-side aggregation + codegen, spills.
+   * collapse = false -> values broadcast back onto every input row: the
+   *                     reference's window-function semantics
+   *                     (dataframe.py:1105-1108) — `expr.over(partitionBy)`.
+   */
+  def aggregate(groupCols: Seq[String], aggCols: Seq[String],
+                aggFuncs: Seq[String], collapse: Boolean = true): XDF = {
+    require(aggCols.length == aggFuncs.length, "aggCols/aggFuncs length mismatch")
+    val keys = res(groupCols)
+    val exprs = aggCols.zip(aggFuncs).map { case (c, f) =>
+      (AggRegistry.outputName(c, f), AggRegistry.expr(f, col(c)))
+    }
+    if (collapse) {
+      val aggExprs = exprs.map { case (n, e) => e.as(n) }
+      XDF(df.groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*))
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      XDF(exprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e.over(w)) })
+    }
+  }
+
+  /** count + ratio-of-total per group, sorted desc (dataframe.py:414-438). */
+  def groupCount(cols: String*): XDF = {
+    val keys = res(cols)
+    val name = keys.mkString("_")
+    val counted = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"$name:count"))
+    val total = sum(col(s"$name:count")).over(Window.partitionBy())
+    XDF(counted
+      .withColumn(s"$name:ratio", format_string("%.6f", col(s"$name:count") / total))
+      .orderBy(col(s"$name:count").desc, struct(keys.map(col): _*)))
+  }
+
+  /** Per-group argmax: value cols at the max of sortCol (dataframe.py:875-974
+    * — built there on group_by_key and self-declared buggy; here `max_by`). */
+  def argMax(groupCols: Seq[String], sortCol: String, argCols: Seq[String]): XDF = {
+    val keys = res(groupCols)
+    val aggs = res(argCols).map(a => max_by(col(a), col(sortCol)).as(s"$a:arg_max")) :+
+      max(col(sortCol)).as(s"$sortCol:max")
+    XDF(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  def argMin(groupCols: Seq[String], sortCol: String, argCols: Seq[String]): XDF = {
+    val keys = res(groupCols)
+    val aggs = res(argCols).map(a => min_by(col(a), col(sortCol)).as(s"$a:arg_min")) :+
+      min(col(sortCol)).as(s"$sortCol:min")
+    XDF(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  def distinct(): XDF = XDF(df.distinct())
+  def distinctCols(cols: String*): XDF = select(cols: _*).distinct()
+
+  /** Running sum in a given deterministic order (dataframe.py:4091-4129).
+    * Partition by `partitionCols` when supplied so the window parallelizes;
+    * the reference's global running sum is the empty-partition case. */
+  def cumulativeSum(c: String, newCol: String, orderCols: Seq[String],
+                    partitionCols: Seq[String] = Nil): XDF = {
+    val w0 = if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
+             else Window.partitionBy()
+    val w = w0.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transform(newCol, sum(col(c).cast(DoubleType)).over(w))
+  }
+
+  // ===== §2.5 Joins =====
+
+  /**
+   * Equi-join with the reference's suffix/default semantics
+   * (dataframe.py:3327-3639): clashing non-key columns are renamed with
+   * `lsuffix`/`rsuffix` (`col:suffix`); differently-named right keys are
+   * re-emitted as copy columns; non-matches fill with `defaultVal` /
+   * `defValMap`. Catalyst picks broadcast-hash / shuffled-hash /
+   * sort-merge — the reference's `num_par` hand-batching (dataframe.py:
+   * 3426-3447) IS the shuffle exchange and needs no API here.
+   */
+  private def joinImpl(other: XDF, lkeys: Seq[String], rkeys0: Seq[String],
+                       joinType: String, lsuffix: String, rsuffix: String,
+                       defaultVal: String, defValMap: Map[String, String]): XDF = {
+    val rkeys = if (rkeys0 == null || rkeys0.isEmpty) lkeys else rkeys0
+    require(lkeys.length == rkeys.length, "lkeys/rkeys length mismatch")
+    val lNonKey = header.filterNot(lkeys.contains)
+    val rNonKey = other.getHeader.filterNot(rkeys.contains)
+    val clash = lNonKey.toSet.intersect(rNonKey.toSet)
+    if (clash.nonEmpty)
+      require(lsuffix.nonEmpty && rsuffix.nonEmpty,
+        s"clashing non-key columns $clash need lsuffix/rsuffix")
+    val l = clash.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, ColumnResolver.withSuffix(c, lsuffix)))
+    // Rename right keys to the left names and join `using` them (single,
+    // coalesced key col in the output); differently-named right keys are
+    // kept as copy columns, null on non-match (dataframe.py:3516-3520,
+    // 3631-3632 — the __join_keys_matched__ mechanism).
+    var r = clash.foldLeft(other.df)((d, c) =>
+      d.withColumnRenamed(c, ColumnResolver.withSuffix(c, rsuffix)))
+    rkeys.zip(lkeys).foreach { case (rk, lk) =>
+      if (rk != lk) r = r.withColumnRenamed(rk, s"__rkeycopy__$rk")
+        .withColumn(lk, col(s"__rkeycopy__$rk"))
+    }
+    val joined0 = joinType match {
+      case "inner" | "left" | "right" | "full" | "left_semi" | "left_anti" =>
+        l.join(r, lkeys, joinType)
+      case t => throw new IllegalArgumentException(s"unknown join type $t")
+    }
+    val joined = rkeys.zip(lkeys).foldLeft(joined0) { case (d, (rk, lk)) =>
+      if (rk != lk && d.columns.contains(s"__rkeycopy__$rk"))
+        d.withColumnRenamed(s"__rkeycopy__$rk", rk)
+      else d
+    }
+    // default fills on non-matched side (dataframe.py:3376, def_val_map)
+    val fillTargets =
+      if (joinType == "left_semi" || joinType == "left_anti") Nil
+      else joined.columns.toSeq
+    val filled = fillTargets.foldLeft(joined) { (d, c) =>
+      defValMap.get(c).orElse(Option(defaultVal).filter(_ => joinType != "inner")) match {
+        case Some(v) => d.withColumn(c, coalesce(col(c).cast(StringType), lit(v)))
+        case None => d
+      }
+    }
+    XDF(filled)
+  }
+
+  def innerJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+                lsuffix: String = "", rsuffix: String = "",
+                defValMap: Map[String, String] = Map.empty): XDF =
+    joinImpl(other, lkeys, rkeys, "inner", lsuffix, rsuffix, null, defValMap)
+
+  def leftJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+               lsuffix: String = "", rsuffix: String = "",
+               defaultVal: String = null,
+               defValMap: Map[String, String] = Map.empty): XDF =
+    joinImpl(other, lkeys, rkeys, "left", lsuffix, rsuffix, defaultVal, defValMap)
+
+  def rightJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+                lsuffix: String = "", rsuffix: String = "",
+                defaultVal: String = null,
+                defValMap: Map[String, String] = Map.empty): XDF =
+    joinImpl(other, lkeys, rkeys, "right", lsuffix, rsuffix, defaultVal, defValMap)
+
+  def outerJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+                lsuffix: String = "", rsuffix: String = "",
+                defaultVal: String = null,
+                defValMap: Map[String, String] = Map.empty): XDF =
+    joinImpl(other, lkeys, rkeys, "full", lsuffix, rsuffix, defaultVal, defValMap)
+
+  /** Broadcast join — the reference's `map_join` (dataframe.py:3724-3926)
+    * hashes only the right side; `broadcast()` is the exact analogue and
+    * removes the shuffle entirely when the dim side is small. */
+  def innerMapJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+                   lsuffix: String = "", rsuffix: String = ""): XDF =
+    joinImpl(XDF(broadcast(other.df)), lkeys, rkeys, "inner", lsuffix, rsuffix, null, Map.empty)
+
+  def leftMapJoin(other: XDF, lkeys: Seq[String], rkeys: Seq[String] = Nil,
+                  lsuffix: String = "", rsuffix: String = "",
+                  defaultVal: String = null): XDF =
+    joinImpl(XDF(broadcast(other.df)), lkeys, rkeys, "left", lsuffix, rsuffix, defaultVal, Map.empty)
+
+  /** Inner join on ALL common columns (dataframe.py:3642-3722). */
+  def naturalJoin(other: XDF): XDF = {
+    val common = header.intersect(other.getHeader)
+    require(common.nonEmpty, "natural join with no common columns")
+    XDF(df.join(other.df, common, "inner"))
+  }
+
+  def semiJoin(other: XDF, keys: Seq[String]): XDF =
+    XDF(df.join(other.df.select(keys.map(col): _*).distinct(), keys, "left_semi"))
+
+  def antiJoin(other: XDF, keys: Seq[String]): XDF =
+    XDF(df.join(other.df.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** Positional zip of two equal-height DFs (dataframe.py:2554-2586).
+    * Needs a global row id on both sides — inherently a full sort at
+    * scale; kept for parity. Order defined by `orderCols` per side. */
+  def concatAsCols(other: XDF, orderCols: Seq[String], otherOrderCols: Seq[String]): XDF = {
+    def withId(d: DataFrame, oc: Seq[String]) =
+      d.withColumn("__zip_id__", row_number().over(Window.orderBy(oc.map(col): _*)))
+    val l = withId(df, orderCols)
+    val r = withId(other.df, otherOrderCols)
+    XDF(l.join(r, Seq("__zip_id__"), "inner").drop("__zip_id__"))
+  }
+
+  // ===== §2.7 Set operations =====
+
+  /** Exact-header union (dataframe.py:2322-2363). */
+  def union(others: XDF*): XDF = {
+    others.foreach { o =>
+      require(o.getHeader == header, s"union header mismatch: ${o.getHeader} vs $header")
+    }
+    XDF(others.foldLeft(df)((a, b) => a.union(b.df)))
+  }
+
+  /** Schema-evolving union: union-of-columns with per-column defaults
+    * (reference dfutils.py:9-165). */
+  def mergeUnion(others: Seq[XDF], defValMap: Map[String, String] = Map.empty): XDF = {
+    val all = this +: others
+    val merged = all.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+    val filled = defValMap.foldLeft(merged) { case (d, (c, v)) =>
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c).cast(StringType), lit(v))) else d
+    }
+    XDF(filled)
+  }
+
+  /** Intersection-of-columns union (dfutils.py:92-177). */
+  def mergeIntersect(others: Seq[XDF]): XDF = {
+    val common = others.foldLeft(header.toSet)((acc, o) => acc.intersect(o.getHeader.toSet))
+    val ordered = header.filter(common)
+    val all = (this +: others).map(_.select(ordered: _*).df)
+    XDF(all.reduce(_.union(_)))
+  }
+
+  /** Multiset difference (dataframe.py:2367-2402 does row-hash anti-join;
+    * `except` is exact and collision-free). */
+  def difference(other: XDF): XDF = XDF(df.except(other.df))
+
+  def intersectRows(other: XDF): XDF = XDF(df.intersect(other.df))
+
+  // ===== §2.9 Sorts / limits / top-k =====
+
+  /** Multi-col sort. The reference auto-detects numeric-ness by scanning
+    * every value (dataframe.py:2031-2072); on typed data the column type
+    * already says it, and for string columns `allNumeric` forces a cast. */
+  def sort(cols: Seq[String], reverse: Boolean = false, allNumeric: Boolean = false): XDF = {
+    val sortCols = res(cols).map { c =>
+      val base = if (allNumeric) col(c).cast(DoubleType) else col(c)
+      if (reverse) base.desc else base.asc
+    }
+    XDF(df.orderBy(sortCols: _*))
+  }
+
+  def reverseSort(cols: String*): XDF = sort(cols, reverse = true)
+  def numericalSort(cols: String*): XDF = sort(cols, allNumeric = true)
+  def reverseNumericalSort(cols: String*): XDF = sort(cols, reverse = true, allNumeric = true)
+
+  def take(n: Int): XDF = XDF(df.limit(n))
+  def skipRows(n: Int): XDF = XDF(df.offset(n))
+  def lastRows(n: Int): XDF = XDF(df.tail(n) match {
+    case rows => df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  })
+
+  /** Top-k per group (dataframe.py:5301-5317) — the canonical window
+    * row_number pattern; one shuffle, no driver involvement. */
+  def sampleGroupByTopk(groupCols: Seq[String], sortCol: String, k: Int,
+                        reverse: Boolean = true): XDF = {
+    val ord = if (reverse) Seq(col(sortCol).desc) else Seq(col(sortCol).asc)
+    val orderCols = ord :+ struct(header.map(col): _*).asc
+    val w = Window.partitionBy(res(groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    XDF(df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k).drop("__rn__"))
+  }
+
+  // ===== misc =====
+
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+  def noop(): XDF = this
+  def cache(): XDF = XDF(df.cache())
+}
+
+object XDF {
+  def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
+}
