@@ -29,7 +29,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_basic")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ TrainingQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ TrainingQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== §2.2 projections / column ops =====
     "q_select" -> ((s, dir) =>
@@ -316,7 +322,7 @@ object SparkEntry {
         .sort(Seq("o_date:window")).toDF),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q_select" ->
       "SELECT p_partkey, p_name FROM part ORDER BY p_partkey",
 

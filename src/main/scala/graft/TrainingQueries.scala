@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+import graft.operators.{Dedup, Similarity}
+
+/**
+ * Correctness-gate queries for the training-data pipeline operators
+ * (TextOps / Dedup / Similarity), with DuckDB oracle SQL. Merged into
+ * SparkEntry.queries.
+ *
+ * Oracle-portability notes: all hashing is md5-hex (identical in DuckDB),
+ * vectors are cast to double on both sides before any arithmetic, and
+ * argmax tie-breaks are lexicographic via struct ordering (same semantics
+ * in Spark `array_min` and DuckDB `list_min`).
+ */
+object TrainingQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", transform(col("embedding"), _.cast(DoubleType)))
+
+  // ---- shared oracle SQL fragments ----
+
+  private val toksSql = "regexp_split_to_array(text, '\\s+')"
+
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(range(1, len(toks) - ${n - 1} + 1),
+               i -> array_to_string(toks[i:i+${n - 1}], ' ')) END"""
+
+  private val langs = TextOps.StopWords.keys.toSeq.sorted
+
+  private def langStructSql(l: String): String = {
+    val words = TextOps.StopWords(l).map(w => s"'$w'").mkString(",")
+    s"{'neg': -len(list_intersect(toks, [$words])), 'lang': '$l'}"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== text analysis =====
+    "q_text_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+        .withColumn("n_bpe", TextOps.bpeishTokenCount(col("text")))
+        .withColumn("mean_tok_len", round(TextOps.meanTokenLength(col("text")), 4))
+        .select("doc_id", "n_tok", "n_bpe", "mean_tok_len")
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("uniq_ratio", round(TextOps.uniqTokenRatio(col("text")), 4))
+        .withColumn("stop_ratio", round(TextOps.stopwordRatio(col("text")), 4))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .select("doc_id", "uniq_ratio", "stop_ratio", "quality")
+        .orderBy("doc_id")),
+
+    "q_text_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("pred_lang", TextOps.languageId(col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text"), 5))
+        .select("doc_id", "fp").orderBy("doc_id")),
+
+    "q_text_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("sh", TextOps.simhash16(col("text")))
+        .select("doc_id", "sh").orderBy("doc_id")),
+
+    // ===== dedup =====
+    // exact dedup demonstrated on a corpus with planted duplicates (the
+    // corpus unioned with a doc_id-shifted copy of itself)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupped = d.union(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exact(dupped, "text", "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    "q_dedup_minhash_sig" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("sig", Dedup.minhashSignature(col("text"), 3, 4))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
+          element_at(col("sig"), 3).as("mh2"), element_at(col("sig"), 4).as("mh3"))
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 12, bands = 4)
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDedup(docs(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val a = docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2), 6))
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+          embs(s, dir).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.25, signBits = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // ===== similarity search =====
+    "q_sim_bruteforce_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+          e.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "vec_id", "embedding", "query_id", k = 3)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(
+          e.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "vec_id", "embedding", "query_id", k = 3, bits = 4)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_token_count" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id, len(toks) AS n_tok,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                 round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks), 4)
+                   AS mean_tok_len
+          FROM t ORDER BY doc_id""",
+
+    "q_text_quality" -> {
+      val allStops = TextOps.StopWords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          m AS (SELECT doc_id, text, toks,
+                  len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio_raw,
+                  len(list_filter(toks, x -> list_contains([$allStops], x)))::DOUBLE
+                    / len(toks) AS stop_ratio_raw,
+                  (length(text) - length(regexp_replace(text,
+                     '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE / length(text) AS punct_ratio
+                FROM t)
+          SELECT doc_id, round(uniq_ratio_raw, 4) AS uniq_ratio,
+                 round(stop_ratio_raw, 4) AS stop_ratio,
+                 round(least(length(text)::DOUBLE / 500, 1.0) * 0.25
+                       + uniq_ratio_raw * 0.35
+                       + least(stop_ratio_raw * 5, 1.0) * 0.2
+                       + greatest(0.0, 1.0 - punct_ratio * 4) * 0.2, 6) AS quality
+          FROM m ORDER BY doc_id"""
+    },
+
+    "q_text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          p AS (SELECT doc_id, lang,
+                  list_min([${langs.map(langStructSql).mkString(", ")}]) AS best
+                FROM t),
+          pl AS (SELECT doc_id, lang,
+                   CASE WHEN best.neg = 0 THEN 'und' ELSE best.lang END AS pred_lang
+                 FROM p)
+          SELECT lang, pred_lang, count(*) AS n FROM pl
+          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+                 list_min(list_transform(${shinglesSql(5)}, s -> md5(s))) AS fp
+          FROM t ORDER BY doc_id""",
+
+    "q_text_simhash" -> simhashSql("SELECT doc_id, sh FROM d ORDER BY doc_id"),
+
+    "q_dedup_exact" ->
+      """WITH dupped AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents)
+         SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
+         FROM dupped GROUP BY text ORDER BY doc_id""",
+
+    "q_dedup_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t)
+          SELECT doc_id,
+            list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh0,
+            list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh1,
+            list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh2,
+            list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh3
+          FROM sh ORDER BY doc_id""",
+
+    "q_dedup_minhash_lsh" -> {
+      val sigExprs = (0 until 12).map(i =>
+        s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i").mkString(",\n")
+      val bandKeys = (0 until 4).map { b =>
+        val parts = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t),
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          banded AS ($bandKeys),
+          bmin AS (SELECT doc_id, band, band_key,
+                     min(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
+                   FROM banded),
+          reps AS (SELECT doc_id, min(bucket_min) AS rep FROM bmin GROUP BY doc_id)
+          SELECT doc_id FROM reps WHERE doc_id = rep ORDER BY doc_id"""
+    },
+
+    "q_dedup_simhash" -> simhashSql(
+      """SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS rep FROM d)
+         WHERE doc_id = rep ORDER BY doc_id"""),
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 20),
+          sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS s FROM t)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     ${signBucketSql("embedding", 4)} AS bkt
+                   FROM embeddings WHERE vec_id % 10 = 0)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(${cosineSql("a.v", "b.v")}, 6) AS cosine
+          FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} > 0.25
+          ORDER BY id_a, id_b""",
+
+    "q_sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+          scored AS (
+            SELECT q.query_id, e.vec_id, ${cosineSql("e.v", "q.qv")} AS cos_raw
+            FROM e, q),
+          ranked AS (SELECT query_id, vec_id, cos_raw,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_raw DESC, vec_id) AS rn
+                     FROM scored)
+          SELECT query_id, vec_id, round(cos_raw, 6) AS cosine
+          FROM ranked WHERE rn <= 3 ORDER BY query_id, cos_raw DESC, vec_id""",
+
+    "q_sim_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     ${signBucketSql("embedding", 4)} AS bkt
+                   FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM e WHERE vec_id < 10),
+          scored AS (
+            SELECT q.query_id, e.vec_id, ${cosineSql("e.v", "q.qv")} AS cos_raw
+            FROM e JOIN q ON e.bkt = q.bkt),
+          ranked AS (SELECT query_id, vec_id, cos_raw,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_raw DESC, vec_id) AS rn
+                     FROM scored)
+          SELECT query_id, vec_id, round(cos_raw, 6) AS cosine
+          FROM ranked WHERE rn <= 3 ORDER BY query_id, cos_raw DESC, vec_id""",
+  )
+
+  /** Cosine in explicit double arithmetic mirroring Similarity.cosine's
+    * fold order (sequential sum over dimensions). */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+        / (sqrt(list_sum(list_transform($a, x -> x * x)))
+           * sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+
+  /** Sign-LSH bucket key mirroring Similarity.signBucket. */
+  private def signBucketSql(vecCol: String, bits: Int): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN $vecCol[$i] >= 0 THEN '1' ELSE '0' END").mkString("(", " || ", ")")
+
+  /** 16-bit simhash oracle mirroring TextOps.simhash16: CTE `d(doc_id, sh)`
+    * then `select` over it. */
+  private def simhashSql(select: String): String = {
+    val bitExprs = (0 until 16).map { j =>
+      val hexChar = j / 4 + 1
+      val bitInChar = 3 - (j % 4)
+      s"""CASE WHEN 2 * list_sum(list_transform(toks,
+            t -> (strpos('0123456789abcdef', substr(md5(t), $hexChar, 1)) - 1)
+                 >> $bitInChar & 1)) > len(toks)
+          THEN ${1 << (15 - j)} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+        d AS (SELECT doc_id, $bitExprs AS sh FROM t)
+        $select"""
+  }
+}

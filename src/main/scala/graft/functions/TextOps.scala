@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, token counting, quality scoring, language identification
+ * and document fingerprinting. All pure Column expressions — codegen'd,
+ * no UDFs, so they stream through whole-stage codegen at 100 TB.
+ *
+ * These extend the reference's scalar string surface (reference:
+ * python-packages/core/src/omigo_core/udfs.py:20-45 get_string_len /
+ * uniq_len are the closest analogues) to the document-pipeline ops the
+ * reference lacks.
+ */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap, deterministic proxy for subword
+    * tokenizer counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct-token ratio — low values signal repetitive/low-quality text. */
+  def uniqTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast(DoubleType) / tokenCount(text)
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast(DoubleType)) / tokenCount(text)
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+      .cast(DoubleType) / length(text)
+
+  /** Per-language stopword lists for the heuristic language scorer.
+    * Deliberately tiny: the point is the distributed scoring shape, not
+    * lexicography. */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "les"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+  )
+
+  /** Stopword hit count for one language over a token array. */
+  def stopwordHits(toks: Column, lang: String): Column = {
+    val words = StopWords(lang)
+    size(array_intersect(toks, array(words.map(lit): _*))) // distinct-hit count
+  }
+
+  /** Stopword ratio against the union of all stopword lists. */
+  def stopwordRatio(text: Column): Column = {
+    val all = StopWords.values.flatten.toSeq.distinct
+    val hits = size(filter(tokens(text), t => t.isin(all: _*)))
+    hits.cast(DoubleType) / tokenCount(text)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, diverse
+    * vocabulary and some stopword mass; penalizes symbol soup. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val diversity = uniqTokenRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round((lenScore * 0.25 + diversity * 0.35 + stop * 0.2 + punctPenalty * 0.2), 6)
+  }
+
+  /** Heuristic language ID: argmax over per-language distinct-stopword
+    * hits; deterministic lexicographic tie-break. Returns the language
+    * code, "und" when no list scores above zero. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = StopWords.keys.toSeq.sorted
+    // struct(score desc via negation, lang asc) -> array_min = winner
+    val scored = array(langs.map(l =>
+      struct((-stopwordHits(toks, l)).cast(IntegerType).as("neg"), lit(l).as("lang"))): _*)
+    val best = array_min(scored)
+    when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] for n-word windows.
+    * Foundation for MinHash/Jaccard dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over word shingles —
+    * a winnowing-style content fingerprint stable under reordering of
+    * everything except the minimal shingle. md5-hex keeps it engine-
+    * portable (identical in any SQL engine). */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(wordShingles(text, n), s => md5(s)))
+
+  /** 16-bit SimHash from word-level md5s, as an integer 0..65535.
+    * Bit j of the simhash = majority vote of bit j across token hashes.
+    * Uses the first 4 hex chars of md5 (16 bits) — portable to any
+    * engine with md5 + integer ops. */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val nToks = size(toks)
+    val bits = (0 until 16).map { j =>
+      val hexChar = j / 4        // which of the first 4 hex chars
+      val bitInChar = 3 - (j % 4)
+      val votes = aggregate(toks, lit(0),
+        (acc, t) => acc + shiftright(
+          conv(substring(md5(t), hexChar + 1, 1), 16, 10).cast(IntegerType),
+          bitInChar) % 2)
+      when(votes * 2 > nToks, lit(1 << (15 - j))).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/**
+ * Deduplication operators for training-data pipelines — exact and
+ * near-duplicate, at cluster scale.
+ *
+ * Scale design:
+ *  - exact dedup is one hash shuffle on the content key (min_by keeps a
+ *    deterministic representative);
+ *  - MinHash+LSH dedup never materializes the O(n^2) pair space: docs
+ *    shuffle once on (band, bandKey) buckets, candidate pairs only form
+ *    inside a bucket, and the final connected component is approximated
+ *    by min-doc-id representative election (one more shuffle);
+ *  - all hashing is md5-based Column expressions (codegen'd, portable to
+ *    any SQL oracle engine).
+ *
+ * The reference has only full-row `distinct` (reference: dataframe.py:
+ * 479-500) — content-level near-dup is part of the beyond-parity surface.
+ */
+object Dedup {
+
+  /** Exact dedup on a content column: keep one deterministic
+    * representative (min of `idCol`) per distinct content value. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__rep__"))
+      .select(col("__rep__.*"))
+
+  /**
+   * MinHash signature column: array of `numHashes` hex minima.
+   * hash_i(shingle) = md5(i || ':' || shingle); signature[i] = lexicographic
+   * min over shingles. Pure expressions — no UDF, no driver state.
+   */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val shingles = TextOps.wordShingles(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(i + ":"), s))))
+    }: _*)
+  }
+
+  /**
+   * LSH banding: (bandId, bandKey) rows where bandKey = md5 of the
+   * concatenated minhashes in the band. Docs sharing any (bandId, bandKey)
+   * are near-dup candidates.
+   *
+   * Shape matters at scale: shingles explode to rows ONCE, the signature
+   * is `numHashes` partial `min` aggregations (map-side combined, one
+   * shuffle on doc id) — never an expression tree that re-derives the
+   * signature per band reference. The naive nested-expression version
+   * re-computed every md5 12x (53s at sf0.01 vs ~2s for this one).
+   */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
+    val exploded = df.select(col(idCol),
+      explode(TextOps.wordShingles(col(textCol), shingleSize)).as("__sh__"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i + ":"), col("__sh__")))).as(s"__mh${i}__"))
+    val sig = exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"__mh${b * rowsPerBand + r}__")): _*)).as("band_key"))
+    }: _*)
+    sig.select(col(idCol), explode(bandStructs).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_key"))
+  }
+
+  /**
+   * MinHash+LSH near-dup dedup: each doc's representative is the min doc
+   * id it shares any LSH bucket with (one-hop component approximation —
+   * the standard first-pass dedup at corpus scale). Returns the input
+   * rows whose id equals their representative.
+   */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, shingleSize, numHashes, bands)
+    val reps = banded
+      .withColumn("__bucket_min__",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .groupBy(col(idCol))
+      .agg(min(col("__bucket_min__")).as("__rep__"))
+    df.join(reps, Seq(idCol), "inner")
+      .filter(col(idCol) === col("__rep__"))
+      .drop("__rep__")
+  }
+
+  /** SimHash-based near-dup: docs sharing an identical 16-bit simhash are
+    * treated as duplicates; min doc id represents the cluster. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
+      .withColumn("__rep__",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__sh__"))))
+      .filter(col(idCol) === col("__rep__"))
+      .drop("__sh__", "__rep__")
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs: given a pair DF
+   * with two text columns, append the Jaccard of their shingle sets.
+   */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(TextOps.wordShingles(a, n))
+    val sb = array_distinct(TextOps.wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
+    inter / (size(sa) + size(sb) - inter)
+  }
+
+  /**
+   * Embedding near-dup: pairs of vectors with cosine similarity above
+   * `threshold`. Candidate generation via sign-LSH buckets (see
+   * Similarity.signBucket) keeps this off the O(n^2) path; `bruteForce`
+   * flag forces the exact quadratic check for small/verification runs.
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, signBits: Int = 8,
+                            bruteForce: Boolean = false): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val joined =
+      if (bruteForce) l.crossJoin(r)
+      else {
+        val lb = l.withColumn("__bkt__", Similarity.signBucket(col("v_a"), signBits))
+        val rb = r.withColumn("__bkt__", Similarity.signBucket(col("v_b"), signBits))
+        lb.join(rb, "__bkt__").drop("__bkt__")
+      }
+    joined.filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

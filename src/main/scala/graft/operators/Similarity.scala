@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Two paths, same API:
+ *  - `bruteForceTopK` — exact cosine top-k: broadcast the (small) query
+ *    set against the corpus, one pass, no shuffle of the corpus. The
+ *    correctness baseline.
+ *  - `lshTopK` — sign-LSH bucketed approximate top-k: corpus and queries
+ *    bucket on the sign pattern of their leading dimensions; candidates
+ *    only form inside a bucket. At 100 TB the bucket join replaces the
+ *    full cross product with a co-partitioned equi-join.
+ *
+ * Dot products are `aggregate(zip_with(...))` Column expressions —
+ * codegen'd, no UDFs.
+ */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH bucket key: concatenated signs of the first `bits` leading
+    * dimensions. For roughly isotropic embeddings this is random-
+    * hyperplane LSH with axis-aligned planes — deterministic and engine-
+    * portable (no RNG state to ship). */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat_ws("", (1 to bits).map(i =>
+      when(element_at(vec, i) >= 0, "1").otherwise("0")): _*)
+
+  /**
+   * Exact top-k nearest neighbors by cosine for each query vector.
+   * `queries` must be small (it is broadcast); the corpus streams.
+   * Output: (queryIdCol, idCol, cosine), k rows per query.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, queryIdCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol), col(vecCol).as("__qvec__")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cvec__"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
+   * Approximate top-k: candidates restricted to the query's sign-LSH
+   * bucket. Recall grows as `bits` shrinks; bits=0 degenerates to exact.
+   * The bucket equi-join shuffles each side once on the bucket key —
+   * the 100 TB-viable plan.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cvec__"))
+      .withColumn("__bkt__", signBucket(col("__cvec__"), bits))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec__"))
+      .withColumn("__bkt__", signBucket(col("__qvec__"), bits))
+    val scored = c.join(q, "__bkt__")
+      .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+  }
+}
