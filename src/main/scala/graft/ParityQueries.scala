@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{JsonFlattener, XDF}
+import graft.functions.TimeFuncs
+import graft.operators.{GraphOps, Multimodal}
+import graft.sources.TsvIO
+
+/**
+ * Correctness-gate queries for the second parity wave: group_by_key,
+ * explode_json, TSV I/O round-trip, lenient time parsing, graph
+ * traversal, multimodal plumbing. Merged into SparkEntry.queries.
+ */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    else df
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== group_by_key: generic multi-col UDAF =====
+    "q_group_by_key" -> ((s, dir) =>
+      XDF(t(s, dir, "orders"))
+        .groupByKey(Seq("o_orderpriority"), Seq("o_totalprice", "o_orderstatus"),
+          rows => {
+            val prices = rows.map(_("o_totalprice").toDouble)
+            val statuses = rows.map(_("o_orderstatus")).distinct.sorted
+            Map(
+              "cnt" -> rows.length.toString,
+              "span" -> (if (prices.isEmpty) "0.00"
+                         else f"${prices.max - prices.min}%.2f"),
+              "statuses" -> statuses.mkString(","))
+          }, outPrefix = "stat")
+        .sort(Seq("o_orderpriority")).toDF),
+
+    // ===== explode_json: nested-map flatten =====
+    "q_explode_json_flat" -> ((s, dir) => {
+      val withJson = t(s, dir, "orders").select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_orderpriority").as("prio"),
+                 col("o_orderstatus").as("status")).as("meta"))).as("payload"))
+      JsonFlattener.explodeJson(withJson, "payload", "j")
+        .orderBy("o_orderkey")
+    }),
+
+    // ===== explode_json: array-of-structs fan-out =====
+    "q_explode_json_array" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty")))).as("items"))
+        .select(col("l_orderkey"), to_json(struct(col("items"))).as("payload"))
+      JsonFlattener.explodeJson(items, "payload", "j")
+        .withColumn("j:items:qty", col("j:items:qty").cast(DoubleType))
+        .orderBy(col("l_orderkey"), col("j:items:__explode_json_index__"))
+    }),
+
+    // ===== TSV round-trip (URL-encoded cells) =====
+    "q_tsv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+      TsvIO.write(t(s, dir, "nation"), out)
+      TsvIO.read(s, out).orderBy(col("n_nationkey").cast(LongType))
+    }),
+
+    // ===== lenient time parsing =====
+    "q_time_parse" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      // two wire formats, parsed back by the lenient cascade
+      val formatted = e.withColumn("ts_str",
+        when(col("event_id") % 2 === 0,
+          date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+      formatted
+        .withColumn("epoch_sec", TimeFuncs.datetimeToUtcTimestampSec(col("ts_str")))
+        .withColumn("rel", TimeFuncs.displayRelativeTime(col("epoch_sec") % 100000))
+        .select("event_id", "epoch_sec", "rel")
+        .orderBy("event_id")
+    }),
+
+    // ===== graph: BFS levels over a 3-level hierarchy =====
+    "q_graph_bfs" -> ((s, dir) => {
+      val rn = t(s, dir, "nation").select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("target"))
+      val ns = t(s, dir, "supplier").select(
+        concat(lit("n"), col("s_nationkey")).as("src"),
+        concat(lit("s"), col("s_suppkey")).as("target"))
+      val roots = t(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("node_id"))
+      GraphOps.bfsLevels(rn.union(ns), roots).orderBy("node_id")
+    }),
+
+    // ===== graph: dangling-edge pruning (one iteration) =====
+    "q_graph_dangling" -> ((s, dir) => {
+      val co = t(s, dir, "orders").select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("target"))
+      val op = t(s, dir, "lineitem").select(
+        concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("target")).distinct()
+      GraphOps.removeDanglingEdges(co.union(op), Nil, maxIter = 1)
+        .orderBy("src", "target")
+    }),
+
+    // ===== graph: degrees =====
+    "q_graph_degrees" -> ((s, dir) => {
+      val edges = t(s, dir, "nation").select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("target"))
+      GraphOps.degrees(edges).orderBy("node_id")
+    }),
+
+    // ===== multimodal plumbing: binary decode stub =====
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      val feats = Multimodal.extractFeatures(media, "doc_id", "payload")
+      (0 until Multimodal.FeatureDim).foldLeft(feats) { (d, j) =>
+        d.withColumn(s"f$j", round(element_at(col("features"), j + 1), 6))
+      }.drop("features").orderBy("id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_group_by_key" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS VARCHAR) AS "stat:cnt",
+                printf('%.2f', max(o_totalprice) - min(o_totalprice)) AS "stat:span",
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS "stat:statuses"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_explode_json_flat" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS "j:id",
+                o_orderpriority AS "j:meta:prio", o_orderstatus AS "j:meta:status"
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_explode_json_array" ->
+      """SELECT l_orderkey,
+                CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT)
+                  AS "j:items:__explode_json_len__",
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_quantity) - 1
+                  AS INT) AS "j:items:__explode_json_index__",
+                CAST(l_linenumber AS VARCHAR) AS "j:items:ln",
+                l_quantity AS "j:items:qty"
+         FROM lineitem
+         ORDER BY l_orderkey, "j:items:__explode_json_index__"""",
+
+    "q_tsv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+                CAST(n_regionkey AS VARCHAR) AS n_regionkey
+         FROM nation ORDER BY n_nationkey::BIGINT""",
+
+    "q_time_parse" ->
+      """WITH b AS (SELECT event_id,
+                      epoch(date_trunc('second', ts))::BIGINT AS epoch_sec
+                    FROM events),
+         d AS (SELECT event_id, epoch_sec,
+                 (epoch_sec % 100000) // 86400 AS dd,
+                 ((epoch_sec % 100000) % 86400) // 3600 AS hh,
+                 ((epoch_sec % 100000) % 3600) // 60 AS mm
+               FROM b)
+         SELECT event_id, epoch_sec,
+                CASE WHEN dd > 0 THEN dd::VARCHAR || 'd ' || hh::VARCHAR || 'h'
+                     WHEN hh > 0 THEN hh::VARCHAR || 'h ' || mm::VARCHAR || 'm'
+                     ELSE mm::VARCHAR || 'm' END AS rel
+         FROM d ORDER BY event_id""",
+
+    "q_graph_bfs" ->
+      """SELECT node_id, level FROM (
+           SELECT 'r' || r_regionkey AS node_id, 0 AS level FROM region
+           UNION ALL
+           SELECT 'n' || n_nationkey, 1 FROM nation
+           UNION ALL
+           SELECT 's' || s_suppkey, 2 FROM supplier)
+         ORDER BY node_id""",
+
+    "q_graph_dangling" ->
+      """SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS target
+         FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+         ORDER BY src, target""",
+
+    "q_graph_degrees" ->
+      """WITH e AS (SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS target
+                    FROM nation),
+          o AS (SELECT src AS node_id, count(*) AS out_degree FROM e GROUP BY src),
+          i AS (SELECT target AS node_id, count(*) AS in_degree FROM e GROUP BY target)
+          SELECT coalesce(o.node_id, i.node_id) AS node_id,
+                 coalesce(out_degree, 0) AS out_degree,
+                 coalesce(in_degree, 0) AS in_degree
+          FROM o FULL JOIN i ON o.node_id = i.node_id
+          ORDER BY node_id""",
+
+    "q_multimodal_features" -> {
+      val fCols = (0 until Multimodal.FeatureDim).map { j =>
+        s"""round(coalesce(list_sum(list_transform(range(${j + 1}, strlen(text) + 1, ${Multimodal.FeatureDim}),
+              i -> ascii(substr(text, i, 1)) / 255.0)), 0), 6) AS f$j"""
+      }.mkString(",\n")
+      s"""SELECT doc_id AS id, strlen(text)::INT AS byte_len,
+                 ascii(substr(text, 1, 1)) AS first_byte,
+                 md5(text) AS content_md5,
+                 $fCols
+          FROM documents ORDER BY id"""
+    },
+  )
+}

@@ -30,10 +30,10 @@ object SparkEntry {
     queries("q_agg_basic")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ TrainingQueries.queries
+    coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ TrainingQueries.oracleSql
+    coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,122 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Recursive JSON flattener — the engine's `explode_json`
+ * (reference: dataframe.py:4292-4682, the largest single operator there).
+ *
+ * Reference semantics preserved:
+ *  - nested maps flatten to `parent:child` columns (prefix joined with ':');
+ *  - lists of structs fan out to rows, with `prefix:__explode_json_index__`
+ *    position and `prefix:__explode_json_len__` count sidecars;
+ *  - primitive lists either CSV-join in place (`collapsePrimitiveList=true`,
+ *    the reference default) or fan out;
+ *  - `acceptedCols` / `excludedCols` restrict which top-level keys survive;
+ *  - `nestedCols` subtrees stay as JSON strings (`:json_encoded` suffix).
+ *
+ * Architecture difference: the reference walks parsed dicts row-by-row in
+ * Python and discovers the output schema from the data. Here the schema
+ * comes from Spark's distributed JSON inference (`schema_of_json` over the
+ * data via spark.read.json) once, then the whole flatten is a static
+ * `select` of nested field paths + `posexplode` — lazy, codegen'd,
+ * column-pruned. No per-row interpretation.
+ */
+object JsonFlattener {
+
+  /** Infer the schema of a JSON string column (distributed scan). */
+  def inferSchema(df: DataFrame, jsonCol: String): StructType = {
+    import df.sparkSession.implicits._
+    df.sparkSession.read.json(df.select(col(jsonCol)).as[String]).schema
+  }
+
+  /**
+   * Flatten a JSON string column into `prefix:`-namespaced columns.
+   * One array-of-struct fan-out level per call is applied for every array
+   * encountered (arrays at different paths fan out independently =
+   * the reference's `join` merge mode / Cartesian; reference
+   * dataframe.py:4577-4579).
+   */
+  def explodeJson(df: DataFrame, jsonCol: String, prefix: String,
+                  acceptedCols: Seq[String] = Nil,
+                  excludedCols: Seq[String] = Nil,
+                  nestedCols: Seq[String] = Nil,
+                  collapsePrimitiveList: Boolean = true,
+                  dropInput: Boolean = true,
+                  schema: StructType = null): DataFrame = {
+    val sch = if (schema != null) schema else inferSchema(df, jsonCol)
+    val keep = (f: StructField) =>
+      (acceptedCols.isEmpty || acceptedCols.contains(f.name)) &&
+        !excludedCols.contains(f.name)
+    val parsed = df.withColumn("__json__", from_json(col(jsonCol), sch))
+    val (flatCols, arrayPaths) = planFlatten(sch, "__json__", prefix,
+      keep, nestedCols, collapsePrimitiveList)
+    // scalar + collapsed columns first
+    var out = parsed.select((df.columns.map(col) :+ col("__json__")) ++
+      flatCols.map { case (name, c) => c.as(name) }: _*)
+    // each array-of-struct path fans out independently
+    arrayPaths.foreach { case (pathExpr, pfx, elemType) =>
+      out = out
+        .withColumn("__arr__", pathExpr)
+        .withColumn(s"$pfx:__explode_json_len__", coalesce(size(col("__arr__")), lit(0)))
+        .select(out.columns.map(col) :+ col(s"$pfx:__explode_json_len__") :+
+          posexplode_outer(col("__arr__")).as(Seq("__pos__", "__elem__")): _*)
+        .withColumn(s"$pfx:__explode_json_index__", col("__pos__"))
+      elemType match {
+        case st: StructType =>
+          st.fields.foreach { f =>
+            out = out.withColumn(s"$pfx:${f.name}",
+              flattenLeaf(col("__elem__").getField(f.name), f.dataType))
+          }
+        case dt =>
+          out = out.withColumn(s"$pfx:value", flattenLeaf(col("__elem__"), dt))
+      }
+      out = out.drop("__arr__", "__pos__", "__elem__")
+    }
+    out = out.drop("__json__")
+    if (dropInput) out.drop(jsonCol) else out
+  }
+
+  /** Walk the schema: returns (flat scalar/collapsed columns, array-of-X
+    * paths to fan out). */
+  private def planFlatten(sch: StructType, rootCol: String, prefix: String,
+                          keep: StructField => Boolean, nestedCols: Seq[String],
+                          collapsePrimitiveList: Boolean)
+      : (Seq[(String, Column)], Seq[(Column, String, DataType)]) = {
+    val flat = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    val arrays = scala.collection.mutable.ArrayBuffer[(Column, String, DataType)]()
+
+    def walk(dt: DataType, path: Column, name: String, topLevel: Boolean): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach { f =>
+          if (!topLevel || keep(f)) {
+            val childName = s"$name:${f.name}"
+            if (nestedCols.contains(f.name))
+              flat += ((s"$childName:json_encoded", to_json(path.getField(f.name))))
+            else walk(f.dataType, path.getField(f.name), childName, topLevel = false)
+          }
+        }
+      case ArrayType(elem: StructType, _) =>
+        arrays += ((path, name, elem))
+      case ArrayType(elem, _) =>
+        if (collapsePrimitiveList)
+          flat += ((name, array_join(path.cast(ArrayType(StringType)), ",")))
+        else arrays += ((path, name, elem))
+      case _ =>
+        flat += ((name, flattenLeaf(path, dt)))
+    }
+
+    walk(sch, col(rootCol), prefix, topLevel = true)
+    (flat.toSeq, arrays.toSeq)
+  }
+
+  /** Leaf rendering: everything becomes a string cell, per the engine's
+    * string-typed compat surface; non-scalar leaves JSON-encode. */
+  private def flattenLeaf(c: Column, dt: DataType): Column = dt match {
+    case _: StructType | _: MapType | _: ArrayType => to_json(c)
+    case BooleanType => when(c, "1").otherwise("0")
+    case _ => c.cast(StringType)
+  }
+}

@@ -319,6 +319,47 @@ case class XDF(df: DataFrame) {
     }
   }
 
+  /**
+   * Generalized multi-column UDAF — the reference's `group_by_key`
+   * (dataframe.py:732-872): `f(rows) -> Map[suffix -> value]` where each
+   * row is the agg-col name→value map; output columns are
+   * `keyPrefix:suffix`, sorted by suffix (dataframe.py:820-822).
+   *
+   * Output schema discovery follows the reference's empty-probe trick
+   * (dataframe.py:805-809): `f(Nil)` is called once on the driver to learn
+   * the output keys. Execution is `groupBy(keys).agg(collect_list(struct))`
+   * + one UDF call per GROUP (not per row) — the generic escape hatch.
+   * Named AggRegistry functions stay the fast path; this exists for
+   * genuinely custom multi-column aggregation logic.
+   */
+  def groupByKey(groupCols: Seq[String], aggCols: Seq[String],
+                 f: Seq[Map[String, String]] => Map[String, String],
+                 outPrefix: String = "out", collapse: Boolean = true): XDF = {
+    val keys = res(groupCols)
+    val acols = res(aggCols)
+    val outKeys = f(Nil).keys.toSeq.sorted
+    val fUdf = udf { rows: Seq[Row] =>
+      val maps = rows.map(r => acols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i)).map(_.toString).getOrElse("") }.toMap)
+      val result = f(maps)
+      outKeys.map(k => result.getOrElse(k, ""))
+    }
+    val packed = struct(acols.map(c => col(c).cast(StringType).as(c)): _*)
+    if (collapse) {
+      val agged = df.groupBy(keys.map(col): _*)
+        .agg(fUdf(collect_list(packed)).as("__out__"))
+      XDF(outKeys.zipWithIndex.foldLeft(agged) { case (d, (k, i)) =>
+        d.withColumn(s"$outPrefix:$k", col("__out__").getItem(i))
+      }.drop("__out__"))
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      val withOut = df.withColumn("__out__", fUdf(collect_list(packed).over(w)))
+      XDF(outKeys.zipWithIndex.foldLeft(withOut) { case (d, (k, i)) =>
+        d.withColumn(s"$outPrefix:$k", col("__out__").getItem(i))
+      }.drop("__out__"))
+    }
+  }
+
   /** count + ratio-of-total per group, sorted desc (dataframe.py:414-438). */
   def groupCount(cols: String*): XDF = {
     val keys = res(cols)

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Graph algorithms over edge-list DataFrames with the reference's
+ * convention columns `src` / `target` (reference:
+ * python-packages/core/src/omigo_core/graph_traversal.py).
+ *
+ * Pregel-style shape: a driver loop of joins, each iteration fully
+ * distributed; the frontier is cached and the loop exits on an empty
+ * frontier (or maxIter). No GraphFrames dependency.
+ */
+object GraphOps {
+
+  /**
+   * BFS level assignment from root nodes (reference GT:7-78
+   * `get_bfs_levels`): returns (node_id, level) with level 0 at roots;
+   * unreachable nodes are absent. Cycle-tolerant — a node keeps its
+   * first (minimal) level.
+   */
+  def bfsLevels(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("target"))
+    var levels = roots.select(col("node_id")).distinct()
+      .withColumn("level", lit(0))
+    var frontier = levels
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier.join(e, frontier("node_id") === e("src"), "inner")
+        .select(col("target").as("node_id"), (col("level") + 1).as("level"))
+        .join(levels.select(col("node_id").as("seen")),
+          col("node_id") === col("seen"), "left_anti")
+        .groupBy("node_id").agg(min("level").as("level"))
+      next.cache()
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.union(next)
+        frontier = next
+      }
+      i += 1
+    }
+    levels
+  }
+
+  /**
+   * Iteratively prune dangling edges (reference GT:215-285
+   * `remove_dangling_edges`): an edge dangles when its target has no
+   * outgoing edge and is not in `retainIds`. Each iteration removes the
+   * current leaf fringe; fixpoint or maxIter.
+   */
+  def removeDanglingEdges(edges: DataFrame, retainIds: Seq[String],
+                          maxIter: Int = 10): DataFrame = {
+    var e = edges
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val srcs = e.select(col("src").as("__s__")).distinct()
+      val pruned = e
+        .join(srcs, e("target") === col("__s__"), "left")
+        .filter(col("__s__").isNotNull || col("target").isin(retainIds: _*))
+        .drop("__s__")
+      pruned.cache()
+      if (pruned.count() == e.count()) done = true
+      e = pruned
+      i += 1
+    }
+    e
+  }
+
+  /** In/out degree per node — building block for the pruning family. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("target").as("node_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node_id"), "full")
+      .na.fill(0, Seq("out_degree", "in_degree"))
+  }
+
+  /**
+   * DAG ancestor paths from roots (reference GT:80-171
+   * `get_forward_edges_only`, simplified to the path-count semantics):
+   * per node, the number of distinct paths from any root and the set of
+   * direct ancestors, via level-synchronous propagation.
+   */
+  def forwardPaths(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("target"))
+    var paths = roots.select(col("node_id")).distinct()
+      .withColumn("n_paths", lit(1L))
+    var frontier = paths
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val contrib = frontier.join(e, frontier("node_id") === e("src"), "inner")
+        .groupBy(col("target").as("node_id"))
+        .agg(sum("n_paths").as("n_paths"))
+        .join(paths.select(col("node_id").as("seen")),
+          col("node_id") === col("seen"), "left_anti")
+      contrib.cache()
+      if (contrib.isEmpty) done = true
+      else {
+        paths = paths.union(contrib.select("node_id", "n_paths"))
+        frontier = contrib.select("node_id", "n_paths")
+      }
+      i += 1
+    }
+    paths
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.XDF
+
+/**
+ * TSV source/sink with the reference's on-disk conventions (reference:
+ * python-packages/hydra/src/omigo_hydra/hydra.py:7-125): tab-separated,
+ * header row, every cell URL-encoded (quote_plus), `.gz` transparent.
+ *
+ * Spark-first: `spark.read.csv` handles distributed listing, splitting
+ * and gz decode; per-cell URL-decode is the built-in `url_decode`
+ * expression (codegen'd). Multi-path reads union with schema evolution
+ * (reference merges with dfutils.merge). S3 paths work unchanged via the
+ * s3a:// filesystem when the cluster provides it.
+ */
+object TsvIO {
+
+  /** Read one or more TSV(.gz) paths, URL-decoding every cell.
+    * Differing headers across paths reconcile by union-of-columns with
+    * "" defaults (reference dfutils.py:9-90 merge semantics). */
+  def read(spark: SparkSession, paths: Seq[String], sep: String = "\t"): DataFrame = {
+    val dfs = paths.map { p =>
+      val raw = spark.read
+        .option("sep", sep)
+        .option("header", "true")
+        // all strings; the engine's surface is string-typed
+        .option("inferSchema", "false")
+        .csv(p)
+      raw.select(raw.columns.map(c =>
+        url_decode(regexp_replace(col(c), "\\+", "%20")).as(c)): _*)
+    }
+    dfs.map(XDF(_)).reduceLeft((a, b) => a.mergeUnion(Seq(b))).toDF
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, Seq(path))
+
+  /** Write TSV with URL-encoded cells (reference hydra.py:7-27; cells
+    * encoded via quote_plus — space becomes '+'). */
+  def write(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.select(df.columns.map(c =>
+        regexp_replace(url_encode(col(c).cast(StringType)), "%20", "+").as(c)): _*)
+      .write.mode("overwrite")
+      .option("sep", sep).option("header", "true")
+      .csv(path)
+
+  /** Plain CSV read (reference hydra.py:127-140). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+
+  /**
+   * Date-partitioned scan (reference etl.py:148-209
+   * `scan_by_datetime_range`): reads `basePath/dt=yyyymmdd/` partitions
+   * between startDate/endDate inclusive. Partition pruning: the `dt`
+   * filter prunes directories at planning time (basePath read as a
+   * partitioned table), so unselected days are never listed or read —
+   * the property the reference implements by hand with directory-name
+   * loops.
+   */
+  def scanByDateRange(spark: SparkSession, basePath: String,
+                      startDate: String, endDate: String,
+                      format: String = "parquet"): DataFrame = {
+    val df = format match {
+      case "parquet" => spark.read.parquet(basePath)
+      case "tsv" =>
+        val raw = spark.read.option("sep", "\t").option("header", "true").csv(basePath)
+        raw
+      case f => throw new IllegalArgumentException(s"unknown format $f")
+    }
+    df.filter(col("dt") >= startDate && col("dt") <= endDate)
+  }
+
+  /** File-level sampling for huge scans (reference etl.py:176
+    * sampling_rate): deterministic hash gate on the file name — whole
+    * files skip, which is what makes sampled scans cheap. */
+  def sampleFiles(df: DataFrame, rate: Double, seed: Long = 0): DataFrame =
+    df.filter(pmod(xxhash64(input_file_name(), lit(seed)), lit(1000000L))
+      < (rate * 1000000).toLong)
+}
