@@ -53,8 +53,11 @@ object TimeFuncs {
   /** "3d4h" / "2h30m" / "45m" style reference durations -> seconds
     * (funclib.py:330-355 resolve_reference_time grammar). */
   def durationToSec(c: Column): Column = {
+    // regexp_extract yields "" on no match; nullif keeps the cast
+    // ANSI-safe (a bare cast("") throws in Spark 4)
     def part(unit: String, mult: Long): Column =
-      coalesce(regexp_extract(c, s"(\\d+)$unit", 1).cast(LongType), lit(0L)) * mult
+      coalesce(nullif(regexp_extract(c, s"(\\d+)$unit", 1), lit("")).cast(LongType),
+        lit(0L)) * mult
     part("d", 86400L) + part("h", 3600L) + part("m", 60L) + part("s", 1L)
   }
 

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Specs for ColumnResolver, XDF verbs and AggRegistry on tiny literal
+  * tables — the per-operator unit layer under the DuckDB differential gate. */
+class CoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def iris = XDF(Seq(
+    ("5.1", "3.5", "1.4", "0.2", "Iris-setosa"),
+    ("4.9", "3.0", "1.4", "0.2", "Iris-setosa"),
+    ("6.2", "3.4", "5.4", "2.3", "Iris-virginica"),
+    ("5.9", "3.0", "5.1", "1.8", "Iris-virginica"),
+    ("5.7", "2.8", "4.1", "1.3", "Iris-versicolor"),
+  ).toDF("sepal_length", "sepal_width", "petal_length", "petal_width", "class"))
+
+  test("resolver: exact, regex, not, missing") {
+    val h = Seq("sepal_length", "sepal_width", "petal_length", "petal_width", "class")
+    assert(ColumnResolver.resolve(Seq("class"), h) == Seq("class"))
+    assert(ColumnResolver.resolve(Seq("sepal.*"), h) == Seq("sepal_length", "sepal_width"))
+    assert(ColumnResolver.resolve(Seq(".*_width"), h) == Seq("sepal_width", "petal_width"))
+    assert(ColumnResolver.resolveNot(Seq("sepal.*"), h) ==
+      Seq("petal_length", "petal_width", "class"))
+    intercept[IllegalArgumentException] { ColumnResolver.resolve(Seq("nope"), h) }
+    assert(ColumnResolver.resolve(Seq("nope"), h, ignoreIfMissing = true).isEmpty)
+  }
+
+  test("resolver: prefix/suffix algebra") {
+    assert(ColumnResolver.withPrefix("a", "p") == "p:a")
+    assert(ColumnResolver.hasPrefix("p:a", "p"))
+    assert(ColumnResolver.stripPrefix("p:a", "p") == "a")
+    assert(ColumnResolver.withSuffix("a", "s") == "a:s")
+    assert(ColumnResolver.stripSuffix("a:s", "s") == "a")
+  }
+
+  test("README iris query: eq_str + gt_float + select") {
+    val out = iris.eqStr("class", "Iris-setosa").gtFloat("sepal_width", 3.1)
+      .select("sepal_width", "sepal_length").toDF.collect()
+    assert(out.map(_.toSeq).toSet == Set(Seq("3.5", "5.1")))
+  }
+
+  test("string-typed eq_int matches 3.0 as 3") {
+    val df = XDF(Seq(("3.0", "a"), ("3", "b"), ("4", "c")).toDF("x", "tag"))
+    assert(df.eqInt("x", 3).toDF.count() == 2)
+  }
+
+  test("aggregate: api-doc example, output naming col:func") {
+    val out = iris.aggregate(Seq("class"), Seq("petal_length"), Seq("min"))
+      .sort(Seq("class")).toDF
+    assert(out.columns.toSeq == Seq("class", "petal_length:min"))
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("Iris-setosa", 1.4), ("Iris-versicolor", 4.1),
+      ("Iris-virginica", 5.1)))
+  }
+
+  test("aggregate collapse=false broadcasts group values to rows") {
+    val out = iris.aggregate(Seq("class"), Seq("petal_length"), Seq("count"),
+      collapse = false).toDF
+    assert(out.count() == 5) // row count preserved
+    assert(out.filter(col("class") === "Iris-setosa")
+      .select("petal_length:count").distinct().head().getLong(0) == 2)
+  }
+
+  test("groupByKey multi-out with empty-probe schema") {
+    val out = iris.groupByKey(Seq("class"), Seq("petal_length"),
+      rows => Map(
+        "n" -> rows.length.toString,
+        "max" -> (if (rows.isEmpty) "" else rows.map(_("petal_length").toDouble).max.toString)),
+      outPrefix = "s").sort(Seq("class")).toDF
+    assert(out.columns.toSet == Set("class", "s:max", "s:n"))
+    val setosa = out.filter(col("class") === "Iris-setosa").head()
+    assert(setosa.getAs[String]("s:n") == "2")
+    assert(setosa.getAs[String]("s:max") == "1.4")
+  }
+
+  test("agg registry: uniq/mkstr/failsafe/quantile families") {
+    val df = Seq(("g", "b,a"), ("g", "a"), ("g", "c")).toDF("k", "v")
+    val out = df.groupBy("k").agg(
+      AggRegistry.expr("uniq_len", col("v")).as("ul"),
+      AggRegistry.expr("merge_uniq", col("v")).as("mu"),
+      AggRegistry.expr("uniq_count", col("v")).as("uc"))
+      .head()
+    assert(out.getAs[Int]("ul") == 3)       // a, b, c after comma-split
+    assert(out.getAs[String]("mu") == "a,b,c")
+    assert(out.getAs[Long]("uc") == 3)      // "b,a", "a", "c" distinct cells
+  }
+
+  test("join suffix semantics and rkey copy") {
+    val l = XDF(Seq(("1", "x1"), ("2", "x2")).toDF("id", "val"))
+    val r = XDF(Seq(("1", "y1"), ("3", "y3")).toDF("rid", "val"))
+    val out = l.leftJoin(r, Seq("id"), Seq("rid"), lsuffix = "l", rsuffix = "r").toDF
+    assert(out.columns.toSet == Set("id", "val:l", "val:r", "rid"))
+    val m = out.collect().map(r => r.getAs[String]("id") ->
+      (r.getAs[String]("val:r"), r.getAs[String]("rid"))).toMap
+    assert(m("1") == (("y1", "1")))
+    assert(m("2") == ((null, null)))
+  }
+
+  test("mergeUnion schema evolution with defaults") {
+    val a = XDF(Seq(("1", "a")).toDF("id", "x"))
+    val b = XDF(Seq(("2", "b")).toDF("id", "y"))
+    val out = a.mergeUnion(Seq(b), defValMap = Map("x" -> "-", "y" -> "-")).toDF
+    assert(out.columns.toSet == Set("id", "x", "y"))
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[String]("x"), r.getAs[String]("y"))).toSet
+    assert(rows == Set(("1", "a", "-"), ("2", "-", "b")))
+  }
+
+  test("sort auto-numeric vs lexicographic") {
+    val df = XDF(Seq("10", "9", "100").toDF("x"))
+    assert(df.sort(Seq("x")).toDF.collect().map(_.getString(0)).toSeq ==
+      Seq("10", "100", "9"))
+    assert(df.numericalSort("x").toDF.collect().map(_.getString(0)).toSeq ==
+      Seq("9", "10", "100"))
+  }
+
+  test("dropEmptyCols / dropEmptyRows") {
+    val df = XDF(Seq(("a", "", ""), ("b", "", "x"), ("", "", "")).toDF("c1", "c2", "c3"))
+    assert(df.dropEmptyCols().toDF.columns.toSeq == Seq("c1", "c3"))
+    assert(df.dropEmptyRows().toDF.count() == 2)
+  }
+
+  test("prefix rename family is reversible") {
+    val df = XDF(Seq(("1", "2")).toDF("a", "b"))
+    val there = df.addPrefix("p")
+    assert(there.getHeader == Seq("p:a", "p:b"))
+    assert(there.removePrefix("p").getHeader == Seq("a", "b"))
+    val sfx = df.addSuffix("s")
+    assert(sfx.getHeader == Seq("a:s", "b:s"))
+    assert(sfx.renameSuffix("s", "t").getHeader == Seq("a:t", "b:t"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{JsonFlattener, Reshape}
+import graft.functions.{TextOps, TimeFuncs}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity}
+import graft.sources.TsvIO
+
+/** Specs for reshape, JSON flatten, dedup/similarity, graph, time, TSV
+  * and multimodal operators. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("splitStr fans out aligned positions") {
+    val df = Seq(("1", "a,b", "x,y")).toDF("id", "l", "r")
+    val out = Reshape.splitStr(df, Seq("l", "r"), ",", "s")
+    val rows = out.select("s:l", "s:r").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("a", "x"), ("b", "y")))
+  }
+
+  test("replicateRows repeats by count col, drops non-positive") {
+    val df = Seq(("a", "2"), ("b", "0"), ("c", "1")).toDF("v", "n")
+    val out = Reshape.replicateRows(df, "n")
+    assert(out.select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "a", "c"))
+  }
+
+  test("reverseTranspose pivots with reference naming") {
+    val df = Seq(("g1", "k1", "1"), ("g1", "k2", "2"), ("g2", "k1", "3"))
+      .toDF("g", "k", "v")
+    val out = Reshape.reverseTranspose(df, Seq("g"), "k", "v")
+    assert(out.columns.toSet == Set("g", "v:k:k1", "v:k:k2"))
+  }
+
+  test("explodeJson: nested map, primitive list collapse, array fan-out") {
+    val df = Seq(
+      ("""{"a": 1, "m": {"x": "u", "y": 2}, "tags": ["t1","t2"], "items": [{"p": 1}, {"p": 2}]}""", "r1"),
+      ("""{"a": 3, "m": {"x": "v", "y": 4}, "tags": [], "items": []}""", "r2"),
+    ).toDF("js", "keep")
+    val out = JsonFlattener.explodeJson(df, "js", "j")
+    assert(out.columns.contains("j:a") && out.columns.contains("j:m:x"))
+    val r1 = out.filter(col("keep") === "r1")
+      .orderBy("j:items:__explode_json_index__").collect()
+    assert(r1.length == 2)
+    assert(r1.map(_.getAs[String]("j:items:p")).toSeq == Seq("1", "2"))
+    assert(r1.head.getAs[String]("j:tags") == "t1,t2")
+    assert(r1.head.getAs[Int]("j:items:__explode_json_len__") == 2)
+    // empty array row survives via posexplode_outer with len 0
+    val r2 = out.filter(col("keep") === "r2").collect()
+    assert(r2.length == 1 && r2.head.getAs[Int]("j:items:__explode_json_len__") == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("delta", "delta2") // 1-word change
+    val distinct = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((0L, base), (1L, nearDup), (2L, distinct)).toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(0L) && out.contains(2L))
+    assert(!out.contains(1L), "near-dup should collapse onto doc 0")
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("id", "t")
+    val out = Dedup.exact(df, "t", "id").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 9L))
+  }
+
+  test("cosine / top-k brute force") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0, 0.0))).toDF("query_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    assert(out.head._1 == 1L && out.head._2 == 1.0)
+    assert(out(1)._1 == 3L)
+  }
+
+  test("bfs levels tolerate cycles") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "target")
+    val roots = Seq("a").toDF("node_id")
+    val out = GraphOps.bfsLevels(edges, roots).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("dangling edges prune to fixpoint") {
+    // chain a->b->c->d, d dangling; full fixpoint empties the chain
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "target")
+    assert(GraphOps.removeDanglingEdges(edges, Nil, maxIter = 10).count() == 0)
+    // retaining d keeps everything
+    assert(GraphOps.removeDanglingEdges(edges, Seq("d"), maxIter = 10).count() == 3)
+  }
+
+  test("lenient time parse cascade") {
+    val df = Seq("2024-01-02 03:04:05", "01/02/2024 03:04:05", "2024-01-02",
+      "20240102", "1704164645").toDF("s")
+    val out = df.select(TimeFuncs.datetimeToUtcTimestampSec(col("s")).as("e"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == out(1))               // same instant, two formats
+    assert(out(2) == out(3))               // date-only formats agree
+    assert(out(4) == 1704164645L)          // epoch passthrough
+  }
+
+  test("duration grammar and humanize") {
+    val df = Seq("3d4h", "2h30m", "45s").toDF("s")
+    val secs = df.select(TimeFuncs.durationToSec(col("s")).as("sec"))
+      .collect().map(_.getLong(0))
+    assert(secs.toSeq == Seq(3 * 86400 + 4 * 3600, 2 * 3600 + 30 * 60, 45))
+    val rel = df.select(TimeFuncs.displayRelativeTime(
+      TimeFuncs.durationToSec(col("s"))).as("r")).collect().map(_.getString(0))
+    assert(rel.toSeq == Seq("3d 4h", "2h 30m", "0m"))
+  }
+
+  test("TSV round-trip preserves special characters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_spec").toString
+    val df = Seq(("1", "a b", "x\ty"), ("2", "c+d", "p%q")).toDF("id", "s1", "s2")
+    TsvIO.write(df, dir)
+    val back = TsvIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == Seq(("1", "a b", "x\ty"), ("2", "c+d", "p%q")))
+  }
+
+  test("multimodal feature extraction is deterministic and batched") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "utf-8").as("bin"))
+    val out = Multimodal.extractFeatures(df, "id", "bin").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[String]("content_md5") == byId(2L).getAs[String]("content_md5"))
+    assert(byId(1L).getAs[Int]("byte_len") == 11)
+    assert(byId(1L).getAs[scala.collection.Seq[Double]]("features").toSeq ==
+      byId(2L).getAs[scala.collection.Seq[Double]]("features").toSeq)
+  }
+
+  test("simhash of similar docs is closer than dissimilar") {
+    val df = Seq(
+      (1L, "spark query engine fast distributed"),
+      (2L, "spark query engine fast distributed extra"),
+      (3L, "completely different words entirely unrelated")).toDF("id", "text")
+    val sh = df.select(col("id"), TextOps.simhash16(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("sh")).toMap
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("language id picks the dominant stopword language") {
+    val df = Seq(
+      ("the cat is of the house and it is a dog", "en"),
+      ("el perro de la casa y un gato por los campos", "es"),
+      ("xyzzy qwerty asdf", "und")).toDF("text", "expected")
+    val out = df.select(TextOps.languageId(col("text")).as("got"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}
