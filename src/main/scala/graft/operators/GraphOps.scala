@@ -54,6 +54,7 @@ object GraphOps {
   def removeDanglingEdges(edges: DataFrame, retainIds: Seq[String],
                           maxIter: Int = 10): DataFrame = {
     var e = edges
+    var prevCount = -1L
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -62,8 +63,14 @@ object GraphOps {
         .join(srcs, e("target") === col("__s__"), "left")
         .filter(col("__s__").isNotNull || col("target").isin(retainIds: _*))
         .drop("__s__")
-      pruned.cache()
-      if (pruned.count() == e.count()) done = true
+      // fixpoint check only matters if another iteration would run; the
+      // single count() doubles as the cache materialization
+      if (i + 1 < maxIter) {
+        pruned.cache()
+        val n = pruned.count()
+        if (n == prevCount) done = true
+        prevCount = n
+      }
       e = pruned
       i += 1
     }
