@@ -118,6 +118,65 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== SQL builder pushdown =====
+    "q_sql_builder" -> ((s, dir) => {
+      val sql = graft.sources.SqlHelper.buildQuery(
+        columns = Seq("o_orderpriority", "count(*) AS n",
+          "round(sum(o_totalprice), 2) AS total"),
+        table = "orders",
+        where = "o_orderstatus = 'F'",
+        groupBy = Seq("o_orderpriority"),
+        having = "count(*) > 0",
+        orderBy = Seq("o_orderpriority"))
+      graft.sources.SqlHelper.executeQuery(s,
+        Map("orders" -> t(s, dir, "orders")), sql)
+    }),
+
+    // ===== arg_min / arg_max =====
+    "q_arg_minmax" -> ((s, dir) =>
+      XDF(t(s, dir, "orders"))
+        .argMax(Seq("o_orderpriority"), "o_totalprice", Seq("o_orderkey"))
+        .sort(Seq("o_orderpriority")).toDF),
+
+    // ===== positional zip =====
+    "q_concat_as_cols" -> ((s, dir) => {
+      val asc = XDF(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      val desc = XDF(t(s, dir, "nation").select(
+        col("n_nationkey").as("rev_key"), col("n_name").as("rev_name")))
+      asc.concatAsCols(desc, Seq("n_nationkey"), Seq("-rev_key"))
+        .sort(Seq("n_nationkey")).toDF
+    }),
+
+    // ===== N-in/M-out transform =====
+    "q_transform_multi" -> ((s, dir) =>
+      XDF(t(s, dir, "orders"))
+        .transformFunc(Seq("o_orderpriority"), Seq("prio_code", "prio_word"),
+          vals => {
+            val parts = vals.head.split("-", 2)
+            Seq(parts(0), if (parts.length > 1) parts(1) else "")
+          })
+        .select("o_orderkey", "prio_code", "prio_word")
+        .sort(Seq("o_orderkey")).toDF),
+
+    // ===== generic explode (declared-schema UDTF) =====
+    "q_explode_generic" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val src = t(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType), col("r_name"))
+      val outSchema = StructType(Seq(
+        StructField("r_regionkey", LongType),
+        StructField("r_name", StringType),
+        StructField("copy_idx", IntegerType)))
+      graft.core.Reshape.explodeRows(src,
+        r => (0 until 2).map(i => Row(r.getLong(0), r.getString(1), i)),
+        outSchema).orderBy("r_regionkey", "copy_idx")
+    }),
+
+    // ===== to_json_records =====
+    "q_to_json_records" -> ((s, dir) =>
+      XDF(t(s, dir, "region").orderBy("r_regionkey"))
+        .toJsonRecords("json").toDF),
+
     // ===== multimodal plumbing: binary decode stub =====
     "q_multimodal_features" -> ((s, dir) => {
       val media = t(s, dir, "documents")
@@ -200,6 +259,44 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_sql_builder" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY 1 HAVING count(*) > 0 ORDER BY o_orderpriority""",
+
+    "q_arg_minmax" ->
+      """SELECT o_orderpriority, o_orderkey AS "o_orderkey:arg_max",
+                o_totalprice AS "o_totalprice:max"
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_orderpriority""",
+
+    "q_concat_as_cols" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+                      row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+         b AS (SELECT n_nationkey AS rev_key, n_name AS rev_name,
+                 row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation)
+         SELECT n_nationkey, n_name, rev_key, rev_name
+         FROM a JOIN b USING (rn) ORDER BY n_nationkey""",
+
+    "q_transform_multi" ->
+      """SELECT o_orderkey,
+                string_split(o_orderpriority, '-')[1] AS prio_code,
+                string_split(o_orderpriority, '-')[2] AS prio_word
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_explode_generic" ->
+      """SELECT r_regionkey, r_name, CAST(i.range AS INT) AS copy_idx
+         FROM region CROSS JOIN range(0, 2) i
+         ORDER BY r_regionkey, copy_idx""",
+
+    "q_to_json_records" ->
+      """SELECT to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name))
+           AS json
+         FROM region ORDER BY r_regionkey""",
 
     "q_multimodal_features" -> {
       val fCols = (0 until Multimodal.FeatureDim).map { j =>

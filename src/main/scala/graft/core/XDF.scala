@@ -376,14 +376,18 @@ case class XDF(df: DataFrame) {
     * — built there on group_by_key and self-declared buggy; here `max_by`). */
   def argMax(groupCols: Seq[String], sortCol: String, argCols: Seq[String]): XDF = {
     val keys = res(groupCols)
-    val aggs = res(argCols).map(a => max_by(col(a), col(sortCol)).as(s"$a:arg_max")) :+
+    // struct key (sortCol, argCol) makes ties deterministic: highest
+    // sort value, then highest arg value
+    val aggs = res(argCols).map(a =>
+      max_by(col(a), struct(col(sortCol), col(a))).as(s"$a:arg_max")) :+
       max(col(sortCol)).as(s"$sortCol:max")
     XDF(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   def argMin(groupCols: Seq[String], sortCol: String, argCols: Seq[String]): XDF = {
     val keys = res(groupCols)
-    val aggs = res(argCols).map(a => min_by(col(a), col(sortCol)).as(s"$a:arg_min")) :+
+    val aggs = res(argCols).map(a =>
+      min_by(col(a), struct(col(sortCol), col(a))).as(s"$a:arg_min")) :+
       min(col(sortCol)).as(s"$sortCol:min")
     XDF(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
@@ -512,8 +516,10 @@ case class XDF(df: DataFrame) {
     * Needs a global row id on both sides — inherently a full sort at
     * scale; kept for parity. Order defined by `orderCols` per side. */
   def concatAsCols(other: XDF, orderCols: Seq[String], otherOrderCols: Seq[String]): XDF = {
+    // "-col" prefix = descending
     def withId(d: DataFrame, oc: Seq[String]) =
-      d.withColumn("__zip_id__", row_number().over(Window.orderBy(oc.map(col): _*)))
+      d.withColumn("__zip_id__", row_number().over(Window.orderBy(oc.map(c =>
+        if (c.startsWith("-")) col(c.substring(1)).desc else col(c).asc): _*)))
     val l = withId(df, orderCols)
     val r = withId(other.df, otherOrderCols)
     XDF(l.join(r, Seq("__zip_id__"), "inner").drop("__zip_id__"))
@@ -589,13 +595,111 @@ case class XDF(df: DataFrame) {
       .filter(col("__rn__") <= k).drop("__rn__"))
   }
 
+  // ===== row/col pruning by predicate (dataframe.py:184-246) =====
+
+  /** Keep only columns where at least one value satisfies `pred` (plus
+    * always-kept `keepCols`). One aggregate pass over all candidates. */
+  def selectColsWithCondExists(pred: Column => Column, keepCols: Seq[String] = Nil): XDF = {
+    val candidates = header.filterNot(keepCols.contains)
+    val aggs = candidates.map(c => max(when(pred(col(c)), 1).otherwise(0)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val keep = candidates.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c }
+    select((keepCols ++ keep): _*)
+  }
+
+  /** Keep rows where at least one of `cols` satisfies `pred`
+    * (dataframe.py:1211-1253 select_any_cols_with_cond_exists_filter). */
+  def selectRowsWithCondExists(cols: Seq[String], pred: Column => Column): XDF =
+    filterAnyCols(cols, pred)
+
+  /** JSON xpath filter (dataframe.py:4955-4957): keep rows where the
+    * JSON path value satisfies the predicate. */
+  def filterJsonByXpath(jsonCol: String, path: String, pred: Column => Column): XDF =
+    where(pred(get_json_object(col(jsonCol), path)))
+
+  // ===== multi-out transform (dataframe.py:1319-1472) =====
+
+  /** N-in / M-out scalar transform: `exprs` maps each new column name to
+    * a Column over the current row — the expression-level form of the
+    * reference's multi-output lambda dispatch. */
+  def transformMulti(exprs: Map[String, Column]): XDF =
+    XDF(exprs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) })
+
+  /** Generic N-in/M-out via a Scala function over string cells, declared
+    * output names; the UDF escape hatch when expressions can't say it. */
+  def transformFunc(inCols: Seq[String], outCols: Seq[String],
+                    f: Seq[String] => Seq[String]): XDF = {
+    val ins = res(inCols)
+    val fUdf = udf { vals: Seq[String] => f(vals) }
+    val packed = array(ins.map(c => col(c).cast(StringType)): _*)
+    val withArr = df.withColumn("__tf__", fUdf(packed))
+    XDF(outCols.zipWithIndex.foldLeft(withArr) { case (d, (n, i)) =>
+      d.withColumn(n, col("__tf__").getItem(i))
+    }.drop("__tf__"))
+  }
+
+  // ===== driver-collect bridges (dataframe.py:1639-2017, 4847-4907) =====
+
+  /** DF -> JSON-lines strings in one column (dataframe.py:2227-2244). */
+  def toJsonRecords(newCol: String = "json"): XDF =
+    XDF(df.select(to_json(struct(header.map(col): _*)).as(newCol)))
+
+  /** DF -> CSV text lines (dataframe.py:2245-2251). */
+  def toCsvText(): XDF =
+    XDF(df.select(concat_ws(",", header.map(c => col(c).cast(StringType)): _*).as("csv")))
+
+  /** Collect as tuples of strings (dataframe.py:4847-4876). */
+  def toTuples(): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")))
+
+  /** 2-col DF -> driver map; unique keys enforced (dataframe.py:1966-2017). */
+  def colsAsMap(kcol: String, vcol: String): Map[String, String] = {
+    val pairs = df.select(col(kcol).cast(StringType), col(vcol).cast(StringType))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val dups = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"cols_as_map duplicate keys: ${dups.take(5).mkString(",")}")
+    pairs.toMap
+  }
+
+  /** One column -> driver array (dataframe.py:1912-1964). */
+  def colAsArray(c: String): Seq[String] =
+    df.select(col(c).cast(StringType)).collect().toSeq.map(r =>
+      Option(r.getString(0)).getOrElse(""))
+
+  def colAsArrayUniq(c: String): Seq[String] = colAsArray(c).distinct
+
+  /** List-of-maps -> rows on the driver (dataframe.py:5581-5611 from_maps). */
+  // see XDF.fromMaps on the companion
+
   // ===== misc =====
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
   def noop(): XDF = this
   def cache(): XDF = XDF(df.cache())
+
+  /** Whole-DF custom function (dataframe.py:4924-4934 custom_func). */
+  def customFunc(f: XDF => XDF): XDF = f(this)
 }
 
 object XDF {
   def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
+
+  /** List-of-maps -> DF with union-of-keys schema, "" for missing
+    * (dataframe.py:5581-5611 from_maps). */
+  def fromMaps(spark: SparkSession, maps: Seq[Map[String, String]]): XDF = {
+    val cols = maps.flatMap(_.keys).distinct.sorted
+    val rows = maps.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, ""))))
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    XDF(spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema))
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.length)
+      s.foreach(l.add)
+      l
+    }
+  }
 }

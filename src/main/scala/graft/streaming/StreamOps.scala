@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.core.AggRegistry
+
+/**
+ * Structured Streaming surface. The reference has no continuous runtime —
+ * its closest artifact is bounded Kafka polling (reference:
+ * EXT/kafka_ext.py:39-104) and date-partitioned incremental scans
+ * (HYDRA/etl.py:148). This module is the additive streaming capability:
+ * the same windowed-aggregate semantics as WindowOps (§2.12), run
+ * incrementally with watermarks + state store.
+ *
+ * Source mapping: `readStream.format("kafka")` drops in when the Kafka
+ * connector jar ships with the cluster (not present in this offline
+ * container); the file source below exercises identical plan shapes.
+ */
+object StreamOps {
+
+  /** Streaming file source over a directory of JSON-lines (schema
+    * required up front — streaming can't infer). */
+  def readJsonStream(spark: SparkSession, dir: String,
+                     schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).json(dir)
+
+  /**
+   * Tumbling/sliding event-time windowed aggregate with a watermark —
+   * the streaming twin of WindowOps.tumblingTimeAggregate. Late rows
+   * beyond `watermark` drop; state for closed windows evicts.
+   */
+  def windowedAggregate(stream: DataFrame, tsCol: String, size: String,
+                        slide: String, watermark: String,
+                        keys: Seq[String], aggCols: Seq[String],
+                        aggFuncs: Seq[String]): DataFrame = {
+    val exprs = aggCols.zip(aggFuncs).map { case (c, f) =>
+      AggRegistry.expr(f, col(c)).as(AggRegistry.outputName(c, f)) }
+    val win = if (slide == null) window(col(tsCol), size)
+              else window(col(tsCol), size, slide)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(win +: keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /**
+   * Custom per-key running state via flatMapGroupsWithState-shaped API:
+   * here the common case — dedup-by-key over a stream (first occurrence
+   * wins), which is `dropDuplicates` with watermark state eviction.
+   */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Write to an in-memory sink for tests / bounded polls (the
+    * reference's bounded-read semantics: process what arrived, stop). */
+  def runToMemory(stream: DataFrame, queryName: String,
+                  outputMode: String = "append"): Unit = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
