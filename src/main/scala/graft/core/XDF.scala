@@ -271,6 +271,22 @@ case class XDF(df: DataFrame) {
 
   def urlEncodeInline(cols: String*): XDF = transformInline(cols, x => url_encode(x.cast(StringType)))
   def urlDecodeInline(cols: String*): XDF = transformInline(cols, x => url_decode(x.cast(StringType)))
+
+  /** Decode every `:url_encoded`-suffixed column in place and strip the
+    * suffix (dataframe.py:2271-2292 resolve_all_url_encoded_cols). */
+  def resolveAllUrlEncodedCols(): XDF = {
+    val targets = header.filter(_.endsWith(":url_encoded"))
+    val decoded = targets.foldLeft(df)((d, c) =>
+      d.withColumn(c, url_decode(col(c).cast(StringType)))
+        .withColumnRenamed(c, c.stripSuffix(":url_encoded")))
+    XDF(decoded)
+  }
+
+  /** First value of a column, or default on empty DF
+    * (dataframe.py:5383-5393). Driver-side scalar by contract. */
+  def firstValueWithDefault(c: String, default: String): String =
+    df.select(col(c).cast(StringType)).head(1).headOption
+      .map(r => Option(r.getString(0)).getOrElse(default)).getOrElse(default)
   def base64EncodeInline(cols: String*): XDF =
     transformInline(cols, x => base64(x.cast(StringType).cast(BinaryType)))
   def base64DecodeInline(cols: String*): XDF =

@@ -88,6 +88,20 @@ object GraphOps {
   }
 
   /**
+   * Remove cycle-closing edges using timestamp order (reference
+   * GT:288-342 `remove_cycles` relies on time-ordered forward edges):
+   * keep only edges whose target's earliest incoming timestamp is not
+   * earlier than the src's — a DAG-izing filter for event graphs.
+   */
+  def removeCycles(edges: DataFrame, tsCol: String): DataFrame = {
+    val firstSeen = edges.groupBy(col("target").as("node_id"))
+      .agg(min(col(tsCol)).as("__first_in__"))
+    edges.join(firstSeen, edges("src") === col("node_id"), "left")
+      .filter(col("__first_in__").isNull || col("__first_in__") <= col(tsCol))
+      .drop("node_id", "__first_in__")
+  }
+
+  /**
    * DAG ancestor paths from roots (reference GT:80-171
    * `get_forward_edges_only`, simplified to the path-count semantics):
    * per node, the number of distinct paths from any root and the set of

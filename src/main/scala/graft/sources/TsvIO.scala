@@ -50,6 +50,41 @@ object TsvIO {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "false").csv(path)
 
+  /** JSON-lines directories -> 1-col `json` DF (reference
+    * hydra.py:325-356 read_json_files_from_directories_as_df). */
+  def readJsonDir(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val txt = spark.read.text(paths: _*)
+    txt.select(org.apache.spark.sql.functions.col("value").as("json"))
+  }
+
+  /** `.tsv.zip` read: zip isn't a Spark codec, so entries decompress via
+    * binaryFiles on executors (reference file_paths_util zip handling).
+    * Each zip's entries concatenate as lines; header from the first line
+    * of each entry, URL-decoded like `read`. */
+  def readZip(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+      val zis = new java.util.zip.ZipInputStream(pds.open())
+      Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+        .filterNot(_.isDirectory)
+        .flatMap { _ =>
+          new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.toSeq
+        }.toSeq
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val ds = lines.toDS()
+    val headerLine = ds.head()
+    val header = headerLine.split(java.util.regex.Pattern.quote(sep), -1)
+    val rows = ds.filter(col("value") =!= headerLine)
+    val parsed = rows.select((0 until header.length).map(i =>
+      url_decode(regexp_replace(
+        element_at(split(col("value"), java.util.regex.Pattern.quote(sep), -1), i + 1),
+        "\\+", "%20")).as(header(i))): _*)
+    parsed
+  }
+
   /**
    * Date-partitioned scan (reference etl.py:148-209
    * `scan_by_datetime_range`): reads `basePath/dt=yyyymmdd/` partitions
