@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen + scheduler warm-up so the first timed query doesn't
+    // absorb session startup
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

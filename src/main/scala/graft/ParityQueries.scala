@@ -118,6 +118,15 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== sliding time windows =====
+    "q_window_sliding" -> ((s, dir) =>
+      XDF(graft.core.WindowOps.slidingTimeAggregate(t(s, dir, "events"),
+          "ts", "2 hours", "1 hour", Seq("event_type"), Seq("value"), Seq("sum")))
+        .transform("win", date_format(col("window_start"), "yyyy-MM-dd HH:mm"))
+        .transform("value:sum", round(col("value:sum"), 2))
+        .select("win", "event_type", "value:sum")
+        .sort(Seq("win", "event_type")).toDF),
+
     // ===== SQL builder pushdown =====
     "q_sql_builder" -> ((s, dir) => {
       val sql = graft.sources.SqlHelper.buildQuery(
@@ -259,6 +268,16 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_window_sliding" ->
+      """WITH shifted AS (
+           SELECT date_trunc('hour', ts) AS w, event_type, value FROM events
+           UNION ALL
+           SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w, event_type, value
+           FROM events)
+         SELECT strftime(w, '%Y-%m-%d %H:%M') AS win, event_type,
+                round(sum(value), 2) AS "value:sum"
+         FROM shifted GROUP BY w, event_type ORDER BY win, event_type""",
 
     "q_sql_builder" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total

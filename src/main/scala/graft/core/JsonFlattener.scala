@@ -26,10 +26,16 @@ import org.apache.spark.sql.types._
  */
 object JsonFlattener {
 
-  /** Infer the schema of a JSON string column (distributed scan). */
-  def inferSchema(df: DataFrame, jsonCol: String): StructType = {
+  /** Infer the schema of a JSON string column. `sampleRows` bounds the
+    * inference scan (homogeneous payloads need only a few rows; a full
+    * corpus pass would double every explode_json). Pass 0 for a full
+    * scan, or supply the schema explicitly to skip inference entirely. */
+  def inferSchema(df: DataFrame, jsonCol: String,
+                  sampleRows: Int = 1000): StructType = {
     import df.sparkSession.implicits._
-    df.sparkSession.read.json(df.select(col(jsonCol)).as[String]).schema
+    val src = if (sampleRows > 0) df.select(col(jsonCol)).limit(sampleRows)
+              else df.select(col(jsonCol))
+    df.sparkSession.read.json(src.as[String]).schema
   }
 
   /**

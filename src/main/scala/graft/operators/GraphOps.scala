@@ -29,12 +29,15 @@ object GraphOps {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      // localCheckpoint: materializes the frontier AND truncates lineage,
+      // so iteration depth never grows the plan (a cache alone leaves a
+      // recursive DAG that re-plans ever larger each round)
       val next = frontier.join(e, frontier("node_id") === e("src"), "inner")
         .select(col("target").as("node_id"), (col("level") + 1).as("level"))
         .join(levels.select(col("node_id").as("seen")),
           col("node_id") === col("seen"), "left_anti")
         .groupBy("node_id").agg(min("level").as("level"))
-      next.cache()
+        .localCheckpoint()
       if (next.isEmpty) done = true
       else {
         levels = levels.union(next)
@@ -120,7 +123,7 @@ object GraphOps {
         .agg(sum("n_paths").as("n_paths"))
         .join(paths.select(col("node_id").as("seen")),
           col("node_id") === col("seen"), "left_anti")
-      contrib.cache()
+        .localCheckpoint()
       if (contrib.isEmpty) done = true
       else {
         paths = paths.union(contrib.select("node_id", "n_paths"))
