@@ -118,6 +118,13 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== reference-compat murmur3-64 key hash (no SQL oracle — DuckDB
+    // has no mmh3; bit-compat is asserted against vectors in Mmh3Spec) =====
+    "q_keyhash_mmh3" -> ((s, dir) =>
+      XDF(t(s, dir, "nation"))
+        .generateKeyHash("key_hash", Seq("n_nationkey", "n_name"), compat = true)
+        .select("n_nationkey", "key_hash").sort(Seq("n_nationkey")).toDF),
+
     // ===== sliding time windows =====
     "q_window_sliding" -> ((s, dir) =>
       XDF(graft.core.WindowOps.slidingTimeAggregate(t(s, dir, "events"),

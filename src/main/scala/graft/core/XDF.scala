@@ -293,10 +293,17 @@ case class XDF(df: DataFrame) {
     transformInline(cols, x => unbase64(x.cast(StringType)).cast(StringType))
 
   /** Deterministic row key hash over concatenated cols
-    * (dataframe.py:4056-4089; murmur3-64 in the reference, xxhash64 here —
-    * same contract: stable, uniform, cheap, codegen'd). */
-  def generateKeyHash(newCol: String, cols: Seq[String]): XDF =
-    transform(newCol, abs(xxhash64(res(cols).map(c => col(c).cast(StringType)): _*)))
+    * (dataframe.py:4056-4089). Default engine hash is xxhash64 (builtin,
+    * fastest); `compat = true` switches to the reference's exact
+    * `abs(mmh3.hash64(tab-joined-values)[0])` via the native codegen'd
+    * Mmh3Hash64 expression — bit-identical to stored reference outputs. */
+  def generateKeyHash(newCol: String, cols: Seq[String],
+                      compat: Boolean = false): XDF =
+    if (compat)
+      transform(newCol, abs(graft.plans.Mmh3Hash64.mmh3_64(
+        concat_ws("\t", res(cols).map(c => col(c).cast(StringType)): _*))))
+    else
+      transform(newCol, abs(xxhash64(res(cols).map(c => col(c).cast(StringType)): _*)))
 
   /** Fill `{colname}` placeholders in a template column from row values
     * (dataframe.py:5321-5381). */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Mmh3
+import graft.plans.Mmh3Hash64
+import graft.core.XDF
+
+/** Bit-compat vectors for murmur3-64 (generated from the public-domain
+  * x64_128 algorithm; "foo" matches the widely-published
+  * mmh3.hash64("foo") value). */
+class Mmh3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  val vectors: Seq[(String, Long)] = Seq(
+    "" -> 0L,
+    "foo" -> -2129773440516405919L,
+    "hello world" -> 5998619086395760910L,
+    "a" -> -8839064797231613815L,
+    "0123456789abcdef" -> 5467490433528156583L, // exact 16-byte block
+    "key1\tval1" -> -7651664971763848624L,
+    "日本語" -> 1349821744801378292L,
+  )
+
+  test("scala Mmh3.hash64 matches python mmh3.hash64 vectors") {
+    vectors.foreach { case (s, expected) =>
+      assert(Mmh3.hash64(s, 0L) == expected, s"for input '$s'")
+    }
+    assert(Mmh3.hash64("foo", 42L) == -840311307571801102L)
+  }
+
+  test("catalyst expression evaluates and codegens identically") {
+    val df = vectors.map(_._1).toDF("s")
+    val out = df.select(col("s"), Mmh3Hash64.mmh3_64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vectors.foreach { case (s, expected) => assert(out(s) == expected) }
+  }
+
+  test("expression survives whole-stage codegen in a filter+agg plan") {
+    val df = (1 to 1000).map(_.toString).toDF("s")
+    val n = df.filter(Mmh3Hash64.mmh3_64(col("s")) % 2 === 0).count()
+    assert(n > 400 && n < 600) // uniform-ish split
+  }
+
+  test("generateKeyHash compat mode equals abs(mmh3 of tab-joined cells)") {
+    val df = XDF(Seq(("k1", "v1")).toDF("a", "b"))
+    val h = df.generateKeyHash("h", Seq("a", "b"), compat = true)
+      .toDF.head().getAs[Long]("h")
+    assert(h == math.abs(Mmh3.hash64("k1\tv1", 0L)))
+  }
+}
