@@ -18,7 +18,7 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
@@ -117,6 +117,32 @@ object ParityQueries {
         concat(lit("n"), col("n_nationkey")).as("target"))
       GraphOps.degrees(edges).orderBy("node_id")
     }),
+
+    // ===== as-of join (point-in-time) =====
+    "q_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // unique (key, ts) on the right: latest orderkey per customer+date
+      val orders = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.operators.AsofJoin.asofJoinBackward(
+          events, orders, Seq("user_id"), "ts", "o_orderdate",
+          Seq("last_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // ===== portable sampling =====
+    "q_sample_group_by_key" -> ((s, dir) =>
+      XDF(graft.core.Sampling.sampleGroupByKeyPortable(
+          t(s, dir, "orders"), Seq("o_custkey"), hexThreshold = "40"))
+        .select("o_orderkey", "o_custkey").sort(Seq("o_orderkey")).toDF),
+
+    "q_sample_class_cap" -> ((s, dir) =>
+      XDF(graft.core.Sampling.sampleClassByMaxValuesPortable(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderpriority", n = 10))
+        .sort(Seq("o_orderpriority", "o_orderkey")).toDF),
 
     // ===== reference-compat murmur3-64 key hash (no SQL oracle — DuckDB
     // has no mmh3; bit-compat is asserted against vectors in Mmh3Spec) =====
@@ -275,6 +301,28 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                      max(o_orderkey) AS last_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, e.ts, r.last_orderkey
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
+
+    "q_sample_group_by_key" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE substr(md5(o_custkey || '0'), 1, 2) < '40'
+         ORDER BY o_orderkey""",
+
+    "q_sample_class_cap" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+           SELECT o_orderkey, o_orderpriority,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY md5(o_orderkey || o_orderpriority || '0')) AS rn
+           FROM orders)
+         WHERE rn <= 10 ORDER BY o_orderpriority, o_orderkey""",
 
     "q_window_sliding" ->
       """WITH shifted AS (

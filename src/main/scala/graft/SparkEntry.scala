@@ -19,7 +19,7 @@ object SparkEntry {
     // events.ts is parquet TIMESTAMP(NANOS), read as long nanos (see
     // Verify session config); convert to a real timestamp column
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   private def x(spark: SparkSession, dir: String, name: String): XDF =

@@ -112,4 +112,30 @@ object Sampling {
 
   /** Seeded shuffle (utils.py:601-618). */
   def randomShuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
+
+  // ===== portable (md5-gated) variants =====
+  // Same determinism contract as the xxhash64 gates but reproducible in
+  // any engine with md5 — used by the DuckDB-differential gate, and by
+  // users who need sampling decisions stable across systems.
+
+  /** Keep rows whose md5(key material) hex prefix is below `hexThreshold`
+    * (e.g. "40" keeps ~25%). */
+  def portableGate(keys: Seq[Column], seedStr: String, hexThreshold: String): Column =
+    substring(md5(concat_ws("", keys :+ lit(seedStr): _*)),
+      1, hexThreshold.length) < hexThreshold
+
+  /** All-or-nothing group sampling, portable gate. */
+  def sampleGroupByKeyPortable(df: DataFrame, groupCols: Seq[String],
+                               hexThreshold: String, seedStr: String = "0"): DataFrame =
+    df.filter(portableGate(groupCols.map(col), seedStr, hexThreshold))
+
+  /** Cap each class at n rows, md5-ranked — deterministic in any engine. */
+  def sampleClassByMaxValuesPortable(df: DataFrame, classCol: String, n: Int,
+                                     seedStr: String = "0"): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(concat_ws("",
+        df.columns.map(c => col(c).cast(StringType)) :+ lit(seedStr): _*)))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n).drop("__rn__")
+  }
 }

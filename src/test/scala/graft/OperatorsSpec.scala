@@ -100,6 +100,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(GraphOps.removeDanglingEdges(edges, Seq("d"), maxIter = 10).count() == 3)
   }
 
+  test("asof join backward picks most recent right row, equal ts matches") {
+    val left = Seq(("k", 10L, "e1"), ("k", 20L, "e2"), ("k", 5L, "e0"),
+      ("x", 10L, "e3")).toDF("key", "ts", "ev")
+    val right = Seq(("k", 8L, "r8"), ("k", 20L, "r20"), ("z", 1L, "rz"))
+      .toDF("key", "rts", "rv")
+    val out = graft.operators.AsofJoin.asofJoinBackward(
+        left, right, Seq("key"), "ts", "rts", Seq("rv"))
+      .collect().map(r => r.getAs[String]("ev") -> r.getAs[String]("rv")).toMap
+    assert(out == Map("e0" -> null, "e1" -> "r8", "e2" -> "r20", "e3" -> null))
+  }
+
   test("lenient time parse cascade") {
     val df = Seq("2024-01-02 03:04:05", "01/02/2024 03:04:05", "2024-01-02",
       "20240102", "1704164645").toDF("s")
