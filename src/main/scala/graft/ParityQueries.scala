@@ -118,6 +118,17 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== Welch t-test =====
+    "q_ttest" -> ((s, dir) =>
+      XDF(graft.functions.Stats.welchTTest(
+          t(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_orderstatus", "F", "O", "o_totalprice"))
+        .transform("mean_a", round(col("mean_a"), 4))
+        .transform("mean_b", round(col("mean_b"), 4))
+        .transform("t_stat", round(col("t_stat"), 6))
+        .transform("df", round(col("df"), 4))
+        .sort(Seq("o_orderpriority")).toDF),
+
     // ===== as-of join (point-in-time) =====
     "q_asof_join" -> ((s, dir) => {
       val events = t(s, dir, "events")
@@ -301,6 +312,24 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_ttest" ->
+      """WITH a AS (
+           SELECT o_orderpriority,
+                  count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS n_a,
+                  count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS n_b,
+                  avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS mean_a,
+                  avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS mean_b,
+                  coalesce(var_samp(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0) AS var_a,
+                  coalesce(var_samp(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0) AS var_b
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n_a, n_b,
+                round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+                round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+                round(pow(var_a / n_a + var_b / n_b, 2)
+                  / (pow(var_a / n_a, 2) / (n_a - 1)
+                     + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS df
+         FROM a ORDER BY o_orderpriority""",
 
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,

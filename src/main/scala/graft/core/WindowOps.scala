@@ -55,6 +55,26 @@ object WindowOps {
    * label is the min/max value within the window. Two shuffles total
    * (rank + final agg) regardless of data size.
    */
+  /** Sliding count-based variant (dataframe.py:674-678, 711-715): every
+    * run of `winSize` consecutive distinct values is a window; a value
+    * with ordinal o replicates into windows [max(0, o-winSize+1) .. o] —
+    * explode(sequence) fan-out, then one aggregation. */
+  def slidingWindowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
+                             aggFuncs: Seq[String], winSize: Int): DataFrame = {
+    val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()
+      .withColumn("__ord__",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))) - 1)
+    val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
+      .join(broadcast(distinctVals), Seq(winCol), "inner")
+      .withColumn("__win__", explode(sequence(
+        greatest(lit(0), col("__ord__") - (winSize - 1)), col("__ord__"))))
+    val label = concat_ws(" - ", min(col(winCol)), max(col(winCol)))
+    val exprs = label.as(s"$winCol:window") +:
+      aggCols.zip(aggFuncs).map { case (c, f) =>
+        AggRegistry.expr(f, col(c)).as(AggRegistry.outputName(c, f)) }
+    tagged.groupBy(col("__win__")).agg(exprs.head, exprs.tail: _*).drop("__win__")
+  }
+
   def windowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
                       aggFuncs: Seq[String], winSize: Int): DataFrame = {
     val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()

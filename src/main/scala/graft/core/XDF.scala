@@ -110,6 +110,12 @@ case class XDF(df: DataFrame) {
     renameAll(c => if (ColumnResolver.hasSuffix(c, oldS))
       ColumnResolver.withSuffix(ColumnResolver.stripSuffix(c, oldS), newS) else c)
 
+  // reference aliases (dataframe.py:2588-2830 exposes both spellings)
+  def replacePrefix(oldP: String, newP: String): XDF = renamePrefix(oldP, newP)
+  def replaceSuffix(oldS: String, newS: String): XDF = renameSuffix(oldS, newS)
+  def addColPrefix(prefix: String, cols: String*): XDF =
+    addPrefix(prefix, if (cols.isEmpty) null else cols)
+
   /** Move matching cols to the front (dataframe.py:2087-2145). */
   def reorder(cols: String*): XDF = {
     val front = res(cols)

@@ -51,6 +51,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(r2.length == 1 && r2.head.getAs[Int]("j:items:__explode_json_len__") == 0)
   }
 
+  test("explodeJson accepted/excluded/nested col controls") {
+    val df = Seq(
+      ("""{"keep": 1, "drop": 2, "sub": {"x": 3, "y": [1,2]}}""", "r")
+    ).toDF("js", "tag")
+    val acc = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      acceptedCols = Seq("keep"))
+    assert(acc.columns.filter(_.startsWith("j:")).toSeq == Seq("j:keep"))
+    val exc = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      excludedCols = Seq("drop"), nestedCols = Seq("sub"))
+    assert(!exc.columns.contains("j:drop"))
+    assert(exc.columns.contains("j:sub:json_encoded"))
+    val sub = exc.select("j:sub:json_encoded").head().getString(0)
+    assert(sub == """{"x":3,"y":[1,2]}""")
+  }
+
+  test("sliding count-window replicates values into winSize windows") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 4.0)).toDF("d", "v")
+    val out = graft.core.WindowOps.slidingWindowAggregate(
+        df, "d", Seq("v"), Seq("sum"), winSize = 2)
+      .orderBy("d:window").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    // start-indexed windows [a,b], [b,c], [c] (reference v[i:i+winsize])
+    assert(out.toSeq == Seq("a - b" -> 3.0, "b - c" -> 6.0, "c - c" -> 4.0))
+  }
+
+  test("welch t-test matches hand computation") {
+    val df = Seq(("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0),
+      ("g", "B", 2.0), ("g", "B", 4.0), ("g", "B", 6.0)).toDF("k", "cls", "v")
+    val r = graft.functions.Stats.welchTTest(df, Seq("k"), "cls", "A", "B", "v").head()
+    // mean_a=2 var_a=1; mean_b=4 var_b=4; t = -2/sqrt(1/3+4/3) = -1.5492
+    assert(math.abs(r.getAs[Double]("t_stat") - (-1.5491933)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df") - 2.9411764) < 1e-6)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
