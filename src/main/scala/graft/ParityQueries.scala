@@ -118,6 +118,16 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== date-partitioned write + pruned scan =====
+    "q_etl_scan" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_etl").toString
+      TsvIO.writePartitionedByDate(t(s, dir, "events"), "ts", base)
+      XDF(TsvIO.scanByDateRange(s, base, "20240102", "20240103"))
+        .aggregate(Seq("dt", "event_type"), Seq("value"), Seq("sum"))
+        .transform("value:sum", round(col("value:sum"), 2))
+        .sort(Seq("dt", "event_type")).toDF
+    }),
+
     // ===== Welch t-test =====
     "q_ttest" -> ((s, dir) =>
       XDF(graft.functions.Stats.welchTTest(
@@ -312,6 +322,13 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_etl_scan" ->
+      """SELECT strftime(ts, '%Y%m%d') AS dt, event_type,
+                round(sum(value), 2) AS "value:sum"
+         FROM events
+         WHERE strftime(ts, '%Y%m%d') BETWEEN '20240102' AND '20240103'
+         GROUP BY 1, 2 ORDER BY dt, event_type""",
 
     "q_ttest" ->
       """WITH a AS (

@@ -107,6 +107,13 @@ object TsvIO {
     df.filter(col("dt") >= startDate && col("dt") <= endDate)
   }
 
+  /** Date-partitioned write (reference etl.py:10-102 layout
+    * `dir/dt=yyyymmdd/...`): derives `dt` from a timestamp column and
+    * writes hive-partitioned parquet, so scanByDateRange prunes. */
+  def writePartitionedByDate(df: DataFrame, tsCol: String, basePath: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyyMMdd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(basePath)
+
   /** File-level sampling for huge scans (reference etl.py:176
     * sampling_rate): deterministic hash gate on the file name — whole
     * files skip, which is what makes sampled scans cheap. */

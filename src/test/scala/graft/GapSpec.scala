@@ -75,6 +75,42 @@ class GapSpec extends SparkTestBase {
     assert(out == Set(("a", "b"), ("b", "c")))
   }
 
+  test("salted aggregate equals plain aggregate") {
+    val df = (1 to 500).map(i => ("hot", i.toDouble)) ++ Seq(("cold", 1.0))
+    val d = df.toDF("k", "v")
+    val salted = graft.operators.Skew.saltedSumCount(d, Seq("k"), "v", 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted("hot") == ((250.0 * 501, 500L)))
+    assert(salted("cold") == ((1.0, 1L)))
+  }
+
+  test("salted join equals plain join") {
+    val l = (1 to 100).map(i => ("hot", i)).toDF("k", "v")
+    val r = Seq(("hot", "H"), ("cold", "C")).toDF("k", "tag")
+    val plain = l.join(r, Seq("k")).count()
+    val salted = graft.operators.Skew.saltedJoin(l, r, Seq("k"), 4).count()
+    assert(plain == salted && salted == 100)
+  }
+
+  test("date-partitioned write prunes on scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_etl_spec").toString
+    val df = Seq(("2024-01-01 10:00:00", 1.0), ("2024-01-02 10:00:00", 2.0),
+      ("2024-01-05 10:00:00", 4.0)).toDF("ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    graft.sources.TsvIO.writePartitionedByDate(df, "ts", dir)
+    val scanned = graft.sources.TsvIO.scanByDateRange(spark, dir, "20240101", "20240102")
+    assert(scanned.agg(sum("v")).head().getDouble(0) == 3.0)
+    // partition pruning visible in the plan
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"))
+  }
+
+  test("log shim: warnOnce dedups, extend composes") {
+    graft.core.Log.warnOnce("w1"); graft.core.Log.warnOnce("w1")
+    assert(graft.core.Log.extend("", "a") == "a")
+    assert(graft.core.Log.extend("a", "b") == "a: b")
+  }
+
   test("readJsonDir wraps lines in a json column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
