@@ -132,6 +132,19 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
+    // rows-only check (k-means quantizer not SQL-expressible; exactness
+    // when probing all cells is asserted in OperatorsSpec)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Similarity.ivfTopK(
+          e.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "vec_id", "embedding", "query_id", k = 3,
+          nClusters = 8, nProbes = 2)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
     "q_sim_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(

@@ -55,11 +55,17 @@ object AggRegistry {
     // exact percentiles; reference quantile* are exact over the value list
     // (udfs.py:227-248)
     case "median" | "quantile2" => percentile_approx(c.cast(DoubleType), lit(0.5), lit(1000000))
+    // multi-quantile results render as CSV cells, keeping the string-cell
+    // convention (reference quantile4/10 return joined strings)
     case "quantile4" =>
-      percentile_approx(c.cast(DoubleType), array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000))
+      array_join(transform(
+        percentile_approx(c.cast(DoubleType), array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)),
+        v => v.cast(StringType)), ",")
     case "quantile10" =>
-      percentile_approx(c.cast(DoubleType),
-        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000000))
+      array_join(transform(
+        percentile_approx(c.cast(DoubleType),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000000)),
+        v => v.cast(StringType)), ",")
     case "get_range_int" =>
       max(c.cast(DoubleType).cast(LongType)) - min(c.cast(DoubleType).cast(LongType))
     case other =>

@@ -62,6 +62,49 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * partitions the corpus into `nClusters` cells; each query probes its
+   * `nProbes` nearest cells only. The classic ANN index shape: corpus
+   * shuffles once on cell id, queries broadcast with their probe lists,
+   * candidates form per-cell. `nProbes == nClusters` degenerates to
+   * exact search (verified in the spec). Training samples the corpus —
+   * at 100 TB you fit the quantizer on a sample, never the full data.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, nClusters: Int = 16, nProbes: Int = 4,
+              trainSample: Double = 1.0, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = (if (trainSample < 1.0) corpus.sample(trainSample, seed) else corpus)
+      .select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+    val bCenters = corpus.sparkSession.sparkContext.broadcast(centers)
+    val probeUdf = udf { (v: Seq[Double], n: Int) =>
+      bCenters.value.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+          (d, i)
+        }.sortBy(_._1).take(n).map(_._2)
+    }
+    val c = corpus.select(col(idCol), col(vecCol).as("__cvec__"))
+      .withColumn("__cell__", element_at(probeUdf(col("__cvec__"), lit(1)), 1))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec__"))
+      .withColumn("__cell__", explode(probeUdf(col("__qvec__"), lit(nProbes))))
+    val scored = c.join(q, "__cell__")
+      .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
    * Approximate top-k: candidates restricted to the query's sign-LSH
    * bucket. Recall grows as `bits` shrinks; bits=0 degenerates to exact.
    * The bucket equi-join shuffles each side once on the bucket key —

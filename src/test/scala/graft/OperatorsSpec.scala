@@ -117,6 +117,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(1)._1 == 3L)
   }
 
+  test("IVF top-k with full probing equals brute force") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = (0L until 4L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() - 0.5))).toDF("query_id", "embedding")
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", k = 3,
+        nClusters = 4, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact) // probing every cell degenerates to exact search
+  }
+
   test("bfs levels tolerate cycles") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "target")
