@@ -224,7 +224,8 @@ object TrainingQueries {
 
     "q_dedup_minhash_lsh" -> {
       val sigExprs = (0 until 12).map(i =>
-        s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i").mkString(",\n")
+        s"list_min(list_transform(shingles, s -> substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8))) AS mh$i")
+        .mkString(",\n")
       val bandKeys = (0 until 4).map { b =>
         val parts = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"

@@ -60,8 +60,13 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
     val exploded = df.select(col(idCol),
       explode(TextOps.wordShingles(col(textCol), shingleSize)).as("__sh__"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i + ":"), col("__sh__")))).as(s"__mh${i}__"))
+    // md5 slicing: one md5 yields four independent 8-hex-char minhash
+    // lanes (hash i = slice i%4 of md5((i/4) || ':' || shingle)) — 1/4
+    // the digest work of one-md5-per-hash, same LSH guarantees
+    val minAggs = (0 until numHashes).map { i =>
+      val digest = md5(concat(lit((i / 4) + ":"), col("__sh__")))
+      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"__mh${i}__")
+    }
     val sig = exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
