@@ -25,6 +25,44 @@ object Reshape {
                   outSchema: StructType): DataFrame =
     df.flatMap(gen)(Encoders.row(outSchema))
 
+  /**
+   * The reference's fully-generic `explode` surface (dataframe.py:
+   * 4167-4290): `f(Map[col -> val]) -> Seq[Map[newcol -> val]]`, output
+   * columns discovered FROM THE DATA (key union across produced maps,
+   * DF:4198-4209), named `prefix:key` sorted, missing keys -> "".
+   *
+   * Two-phase by construction (Spark needs the schema before execution):
+   * a distributed probe pass unions the produced key sets, then the
+   * declared-schema flatMap runs. Prefer `explodeRows` (declared schema,
+   * single pass) where the caller knows the output shape.
+   */
+  def explodeMaps(df: DataFrame, cols: Seq[String],
+                  f: Map[String, String] => Seq[Map[String, String]],
+                  prefix: String, collapse: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val inCols = cols
+    def rowToMap(r: Row): Map[String, String] =
+      inCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(r.fieldIndex(c))).map(_.toString).getOrElse("") }.toMap
+    // pass 1: discover output keys (distributed agg of key sets)
+    import df.sparkSession.implicits._
+    val keys = df.select(inCols.map(fcol): _*)
+      .flatMap(r => f(rowToMap(r)).flatMap(_.keys))(Encoders.STRING)
+      .distinct().collect().sorted.toSeq
+    // pass 2: declared-schema fan-out
+    val keep = if (collapse) df.columns.filterNot(inCols.contains).toSeq
+               else df.columns.toSeq
+    val outSchema = StructType(
+      keep.map(c => df.schema(c)) ++
+        keys.map(k => StructField(s"$prefix:$k", StringType)))
+    df.flatMap { r =>
+      f(rowToMap(r)).map { m =>
+        Row.fromSeq(keep.map(c => r.get(r.fieldIndex(c))) ++
+          keys.map(k => m.getOrElse(k, "")))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Split N string cols by `sep` into aligned row fan-out
     * (dataframe.py:5257-5299): arrays_zip keeps positions aligned, and
     * the reference's equal-length validation is implicit (zip pads with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -102,6 +102,30 @@ object GraphOps {
     edges.join(firstSeen, edges("src") === col("node_id"), "left")
       .filter(col("__first_in__").isNull || col("__first_in__") <= col(tsCol))
       .drop("node_id", "__first_in__")
+  }
+
+  /**
+   * Collapse similar leaf nodes into grouped super-nodes (reference
+   * GT:344-444 `merge_similar_nodes_reference` — flagged buggy there and
+   * treated as spec): leaves (no outgoing edges) sharing the same parent
+   * and the same `similarityKey` value merge into one `grp:<parent>:<key>`
+   * node with a `merged_count`. One aggregation, no iteration.
+   */
+  def mergeSimilarLeafNodes(edges: DataFrame,
+                            similarityKey: DataFrame => Column): DataFrame = {
+    val srcs = edges.select(col("src").as("__s__")).distinct()
+    val tagged = edges.join(srcs, edges("target") === col("__s__"), "left")
+      .withColumn("__is_leaf__", col("__s__").isNull).drop("__s__")
+    val leaves = tagged.filter(col("__is_leaf__"))
+      .withColumn("__simkey__", similarityKey(tagged))
+      .groupBy(col("src"), col("__simkey__"))
+      .agg(count(lit(1)).as("merged_count"))
+      .select(col("src"),
+        concat(lit("grp:"), col("src"), lit(":"), col("__simkey__")).as("target"),
+        col("merged_count"))
+    val nonLeaves = tagged.filter(!col("__is_leaf__"))
+      .select(col("src"), col("target"), lit(1L).as("merged_count"))
+    nonLeaves.unionByName(leaves)
   }
 
   /**

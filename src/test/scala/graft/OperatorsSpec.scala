@@ -98,6 +98,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(!out.contains(1L), "near-dup should collapse onto doc 0")
   }
 
+  test("explodeMaps discovers output schema from data") {
+    val df = Seq(("1", "a=1,b=2"), ("2", "c=9")).toDF("id", "kv")
+    val out = graft.core.Reshape.explodeMaps(df, Seq("kv"),
+      m => m("kv").split(",").toSeq.map { p =>
+        val Array(k, v) = p.split("=", 2); Map("key" -> k, "val" -> v)
+      }, prefix = "e")
+    assert(out.columns.toSeq == Seq("id", "e:key", "e:val"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(("1", "a", "1"), ("1", "b", "2"), ("2", "c", "9")))
+  }
+
+  test("mergeSimilarLeafNodes collapses same-parent same-key leaves") {
+    val edges = Seq(("root", "mid"), ("mid", "f1.txt"), ("mid", "f2.txt"),
+      ("mid", "app.exe")).toDF("src", "target")
+    val out = graft.operators.GraphOps.mergeSimilarLeafNodes(edges,
+        d => regexp_extract(d("target"), "\\.(\\w+)$", 1))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("root", "mid", 1L),
+      ("mid", "grp:mid:txt", 2L), ("mid", "grp:mid:exe", 1L)))
+  }
+
   test("exact dedup keeps min-id representative") {
     val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("id", "t")
     val out = Dedup.exact(df, "t", "id").select("id")
