@@ -51,6 +51,7 @@ object JsonFlattener {
                   nestedCols: Seq[String] = Nil,
                   collapsePrimitiveList: Boolean = true,
                   dropInput: Boolean = true,
+                  arrayMergeMode: String = "join",
                   schema: StructType = null): DataFrame = {
     val sch = if (schema != null) schema else inferSchema(df, jsonCol)
     val keep = (f: StructField) =>
@@ -62,24 +63,48 @@ object JsonFlattener {
     // scalar + collapsed columns first
     var out = parsed.select((df.columns.map(col) :+ col("__json__")) ++
       flatCols.map { case (name, c) => c.as(name) }: _*)
-    // each array-of-struct path fans out independently
-    arrayPaths.foreach { case (pathExpr, pfx, elemType) =>
-      out = out
-        .withColumn("__arr__", pathExpr)
-        .withColumn(s"$pfx:__explode_json_len__", coalesce(size(col("__arr__")), lit(0)))
-        .select(out.columns.map(col) :+ col(s"$pfx:__explode_json_len__") :+
-          posexplode_outer(col("__arr__")).as(Seq("__pos__", "__elem__")): _*)
-        .withColumn(s"$pfx:__explode_json_index__", col("__pos__"))
+
+    def extractElem(pfx: String, elem: Column, elemType: DataType): Unit =
       elemType match {
         case st: StructType =>
           st.fields.foreach { f =>
             out = out.withColumn(s"$pfx:${f.name}",
-              flattenLeaf(col("__elem__").getField(f.name), f.dataType))
+              flattenLeaf(elem.getField(f.name), f.dataType))
           }
         case dt =>
-          out = out.withColumn(s"$pfx:value", flattenLeaf(col("__elem__"), dt))
+          out = out.withColumn(s"$pfx:value", flattenLeaf(elem, dt))
       }
-      out = out.drop("__arr__", "__pos__", "__elem__")
+
+    if (arrayMergeMode == "cogroup" && arrayPaths.length > 1) {
+      // pad-align ALL array paths positionally (reference's cogroup
+      // merge, dataframe.py:4556-4576): one fan-out, arrays_zip pads
+      // shorter lists with null
+      arrayPaths.foreach { case (_, pfx, _) =>
+        out = out.withColumn(s"$pfx:__explode_json_len__",
+          coalesce(size(arrayPaths.find(_._2 == pfx).get._1), lit(0)))
+      }
+      val zipped = arrays_zip(arrayPaths.zipWithIndex.map {
+        case ((p, _, _), i) => p.as(s"a$i") }: _*)
+      out = out.select(out.columns.map(col) :+
+        posexplode_outer(zipped).as(Seq("__pos__", "__z__")): _*)
+      arrayPaths.zipWithIndex.foreach { case ((_, pfx, elemType), i) =>
+        out = out.withColumn(s"$pfx:__explode_json_index__", col("__pos__"))
+        extractElem(pfx, col("__z__").getField(s"a$i"), elemType)
+      }
+      out = out.drop("__pos__", "__z__")
+    } else {
+      // each array path fans out independently = Cartesian across lists
+      // (reference's join merge, dataframe.py:4577-4579)
+      arrayPaths.foreach { case (pathExpr, pfx, elemType) =>
+        out = out
+          .withColumn("__arr__", pathExpr)
+          .withColumn(s"$pfx:__explode_json_len__", coalesce(size(col("__arr__")), lit(0)))
+          .select(out.columns.map(col) :+ col(s"$pfx:__explode_json_len__") :+
+            posexplode_outer(col("__arr__")).as(Seq("__pos__", "__elem__")): _*)
+          .withColumn(s"$pfx:__explode_json_index__", col("__pos__"))
+        extractElem(pfx, col("__elem__"), elemType)
+        out = out.drop("__arr__", "__pos__", "__elem__")
+      }
     }
     out = out.drop("__json__")
     if (dropInput) out.drop(jsonCol) else out

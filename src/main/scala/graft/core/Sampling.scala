@@ -31,9 +31,22 @@ object Sampling {
     df.sample(withReplacement = false, ratio, seed)
 
   /** Exact-n sample (dataframe.py:2868-2909): global sort by seeded rand —
-    * one shuffle of n survivors via takeOrdered-style limit. */
+    * per-partition top-n + driver merge via TakeOrderedAndProject. */
   def sampleN(df: DataFrame, n: Int, seed: Long): DataFrame =
     df.orderBy(rand(seed)).limit(n)
+
+  /** Exact-n sample in ONE aggregation pass via the native reservoir
+    * aggregate (plans/ReservoirSampleAgg): partial reservoirs merge on
+    * executors — no sort key, no per-partition k-row driver merge. Rows
+    * round-trip through JSON to ride the string-typed aggregate. */
+  def sampleNOnePass(df: DataFrame, n: Int, seed: Long = 0L): DataFrame = {
+    import graft.plans.ReservoirSampleAgg.reservoir_sample
+    val packed = df.select(to_json(struct(df.columns.map(col): _*)).as("__j__"))
+    packed.agg(reservoir_sample(col("__j__"), n, seed).as("__s__"))
+      .select(explode(col("__s__")).as("__j__"))
+      .select(from_json(col("__j__"), df.schema).as("__r__"))
+      .select(col("__r__.*"))
+  }
 
   /** Downsample only rows of one class, others untouched
     * (dataframe.py:2984-3021). Hash-gated → deterministic. */

@@ -271,6 +271,12 @@ case class XDF(df: DataFrame) {
     transformInline(cols, x =>
       regexp_replace(x.cast(StringType), java.util.regex.Pattern.quote(from), to))
 
+  /** Normalize SQL NULLs to the engine's "" null convention across all
+    * string columns — the ingestion bridge from null-bearing sources
+    * into the reference's data model (§1.1: empty string IS the null). */
+  def fillEmpty(): XDF = XDF(df.na.fill("",
+    df.schema.fields.collect { case f if f.dataType == StringType => f.name }))
+
   def setMissingValues(cols: Seq[String], default: String): XDF =
     transformInline(cols, x =>
       when(x.isNull || x.cast(StringType) === "", default).otherwise(x.cast(StringType)))

@@ -123,6 +123,13 @@ class CoreSpec extends SparkTestBase {
     assert(df.dropEmptyRows().toDF.count() == 2)
   }
 
+  test("fillEmpty maps SQL nulls onto the empty-string convention") {
+    val df = XDF(Seq(("a", null: String), (null: String, "b")).toDF("x", "y"))
+    val filled = df.fillEmpty()
+    assert(filled.toDF.collect().flatMap(_.toSeq).forall(_ != null))
+    assert(filled.isEmptyStr("x").toDF.count() == 1)
+  }
+
   test("prefix rename family is reversible") {
     val df = XDF(Seq(("1", "2")).toDF("a", "b"))
     val there = df.addPrefix("p")

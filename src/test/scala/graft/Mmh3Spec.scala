@@ -60,6 +60,20 @@ class Mmh3Spec extends SparkTestBase {
     assert(out.getInt(0) == 4)
   }
 
+  test("reservoir sample: exact k, subset of input, deterministic") {
+    val df = (1 to 1000).map(_.toString).toDF("v").repartition(8)
+    val s1 = graft.core.Sampling.sampleNOnePass(df, 50, seed = 7)
+      .collect().map(_.getString(0)).toSeq
+    assert(s1.length == 50 && s1.distinct.length == 50)
+    assert(s1.forall(v => v.toInt >= 1 && v.toInt <= 1000))
+    // statistical sanity: mean of a 50-of-1000 uniform sample
+    val mean = s1.map(_.toDouble).sum / 50
+    assert(mean > 300 && mean < 700)
+    // k > n returns everything
+    val all = graft.core.Sampling.sampleNOnePass(df.limit(10), 50)
+    assert(all.count() == 10)
+  }
+
   test("generateKeyHash compat mode equals abs(mmh3 of tab-joined cells)") {
     val df = XDF(Seq(("k1", "v1")).toDF("a", "b"))
     val h = df.generateKeyHash("h", Seq("a", "b"), compat = true)

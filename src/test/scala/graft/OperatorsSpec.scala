@@ -51,6 +51,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(r2.length == 1 && r2.head.getAs[Int]("j:items:__explode_json_len__") == 0)
   }
 
+  test("explodeJson cogroup mode pad-aligns multiple arrays") {
+    val df = Seq(
+      ("""{"xs": [{"a": 1}, {"a": 2}, {"a": 3}], "ys": [{"b": 9}]}""", "r")
+    ).toDF("js", "tag")
+    val joinMode = graft.core.JsonFlattener.explodeJson(df, "js", "j")
+    assert(joinMode.count() == 3) // 3 xs x 1 ys cartesian
+    val cg = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      arrayMergeMode = "cogroup")
+    val rows = cg.orderBy("j:xs:__explode_json_index__").collect()
+    assert(rows.length == 3) // pad-aligned to the longest list
+    assert(rows.map(_.getAs[String]("j:xs:a")).toSeq == Seq("1", "2", "3"))
+    assert(rows.map(_.getAs[String]("j:ys:b")).toSeq == Seq("9", null, null))
+    assert(rows.head.getAs[Int]("j:ys:__explode_json_len__") == 1)
+  }
+
   test("explodeJson accepted/excluded/nested col controls") {
     val df = Seq(
       ("""{"keep": 1, "drop": 2, "sub": {"x": 3, "y": [1,2]}}""", "r")
