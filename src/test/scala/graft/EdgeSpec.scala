@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Sampling, XDF}
+
+/** Edge-case coverage for paths not exercised by the oracle gate. */
+class EdgeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("resolveTemplateCol fills placeholders from row values") {
+    val df = XDF(Seq(("alice", "Hi {name}, meet {other}", "bob"))
+      .toDF("name", "tpl", "other"))
+    val out = df.resolveTemplateCol("tpl", "msg").toDF.head()
+    assert(out.getAs[String]("msg") == "Hi alice, meet bob")
+  }
+
+  test("addRow appends a literal row with coercion") {
+    val df = XDF(Seq((1L, "a")).toDF("id", "v"))
+    val out = df.addRow(Seq("2", "b")).sort(Seq("id")).toDF.collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] { df.addRow(Seq("only-one")) }
+  }
+
+  test("base64 round-trip inline") {
+    val df = XDF(Seq("hello world").toDF("v"))
+    val rt = df.base64EncodeInline("v").base64DecodeInline("v").toDF.head()
+    assert(rt.getString(0) == "hello world")
+  }
+
+  test("toCsvText and toJsonRecords render rows") {
+    val df = XDF(Seq(("1", "a")).toDF("x", "y"))
+    assert(df.toCsvText().toDF.head().getString(0) == "1,a")
+    assert(df.toJsonRecords().toDF.head().getString(0) == """{"x":"1","y":"a"}""")
+  }
+
+  test("take / skipRows / lastRows honor order") {
+    val df = XDF(Seq("a", "b", "c", "d").toDF("v")).sort(Seq("v"))
+    assert(df.take(2).toDF.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(df.skipRows(3).toDF.collect().map(_.getString(0)).toSeq == Seq("d"))
+    assert(df.lastRows(1).toDF.collect().map(_.getString(0)).toSeq == Seq("d"))
+  }
+
+  test("reorder moves matches to front, reverseReorder to back") {
+    val df = XDF(Seq(("1", "2", "3")).toDF("a", "b", "c"))
+    assert(df.reorder("c").getHeader == Seq("c", "a", "b"))
+    assert(df.reverseReorder("a").getHeader == Seq("b", "c", "a"))
+  }
+
+  test("sampleClass leaves other classes untouched") {
+    val df = (1 to 200).map(i => (if (i % 2 == 0) "big" else "keep", i))
+      .toDF("cls", "v")
+    val out = Sampling.sampleClass(df, "cls", "big", 0.2, 42, Seq("v"))
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("keep") == 100)          // untouched class intact
+    assert(counts("big") < 60)             // sampled class reduced
+  }
+
+  test("sampleGroupByMaxUniqValues caps distinct values per group") {
+    val df = (1 to 100).map(i => ("g", s"v${i % 10}")).toDF("k", "v")
+    val out = Sampling.sampleGroupByMaxUniqValues(df, Seq("k"), "v", 3, 1)
+    assert(out.select("v").distinct().count() == 3)
+    // every surviving row's value is one of the 3 kept values
+    assert(out.count() == 30)
+  }
+
+  test("mergeIntersect keeps only common columns") {
+    val a = XDF(Seq(("1", "x")).toDF("id", "onlyA"))
+    val b = XDF(Seq(("2", "y")).toDF("id", "onlyB"))
+    val m = a.mergeIntersect(Seq(b))
+    assert(m.getHeader == Seq("id"))
+    assert(m.toDF.count() == 2)
+  }
+
+  test("splitBatches partitions rows completely and disjointly") {
+    val df = (1 to 100).map(_.toString).toDF("v")
+    val batches = Sampling.splitBatches(df, Seq("v"), 4, 9)
+    val counts = batches.map(_.count())
+    assert(counts.sum == 100)
+    assert(counts.forall(_ > 0))
+  }
+
+  test("selectAndAddEmptyColsIfMissing creates absent plain cols") {
+    val df = XDF(Seq(("1")).toDF("a"))
+    val out = df.selectAndAddEmptyColsIfMissing("a", "ghost")
+    assert(out.getHeader == Seq("a", "ghost"))
+    assert(out.toDF.head().getString(1) == "")
+  }
+
+  test("transform inline log families compute correctly") {
+    val df = XDF(Seq("8.0").toDF("v"))
+    val out = df.transformInlineLog2("v").toDF.head()
+    assert(math.abs(out.getDouble(0) - 3.0) < 1e-12)
+  }
+}
