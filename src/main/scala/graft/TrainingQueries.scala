@@ -181,7 +181,8 @@ object TrainingQueries {
                  round(least(length(text)::DOUBLE / 500, 1.0) * 0.25
                        + uniq_ratio_raw * 0.35
                        + least(stop_ratio_raw * 5, 1.0) * 0.2
-                       + greatest(0.0, 1.0 - punct_ratio * 4) * 0.2, 6) AS quality
+                       + greatest(0.0, 1.0 - punct_ratio * 4) * 0.2
+                       + 1e-9, 6) AS quality
           FROM m ORDER BY doc_id"""
     },
 

@@ -73,7 +73,10 @@ object TextOps {
     val diversity = uniqTokenRatio(text)
     val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    round((lenScore * 0.25 + diversity * 0.35 + stop * 0.2 + punctPenalty * 0.2), 6)
+    // +1e-9 shifts values off round-to-6 knife edges: different engines'
+    // FMA/low-bit behavior can otherwise flip x.xxxxxx5 boundaries
+    round((lenScore * 0.25 + diversity * 0.35 + stop * 0.2 + punctPenalty * 0.2)
+      + 1e-9, 6)
   }
 
   /** Heuristic language ID: argmax over per-language distinct-stopword
