@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanism evidence: bucketing removes the join shuffle,
+  * broadcast map-join plans broadcast, salting spreads a hot key. */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = (1 to 1000).map(i => (i % 50, i, i * 10.0))
+        .toDF("custkey", "orderkey", "price")
+      val cust = (0 until 50).map(i => (i, s"cust$i")).toDF("custkey", "name")
+      orders.write.mode("overwrite").bucketBy(8, "custkey")
+        .sortBy("custkey").saveAsTable("b_orders")
+      cust.write.mode("overwrite").bucketBy(8, "custkey")
+        .sortBy("custkey").saveAsTable("b_cust")
+      val joined = spark.table("b_orders").join(spark.table("b_cust"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, got:\n${plan.take(800)}")
+      assert(joined.count() == 1000)
+      // unbucketed baseline DOES shuffle
+      val plain = orders.join(cust, "custkey")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
+  test("map-join plans a broadcast hash join") {
+    val big = (1 to 1000).map(i => (i % 10, i)).toDF("k", "v")
+    val dim = (0 until 10).map(i => (i, s"d$i")).toDF("k", "d")
+    val joined = graft.core.XDF(big)
+      .innerMapJoin(graft.core.XDF(dim), Seq("k"))
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("salted aggregate spreads a hot key over buckets") {
+    val hot = (1 to 10000).map(i => ("hot", 1.0)).toDF("k", "v")
+    val out = graft.operators.Skew.saltedSumCount(hot, Seq("k"), "v", 16)
+    val r = out.head()
+    assert(r.getDouble(1) == 10000.0 && r.getLong(2) == 10000L)
+    // the partial stage groups on (k, salt): verify the plan aggregates twice
+    val plan = out.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 4) // partial+final x2 phases
+  }
+}
