@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 import graft.core.AggRegistry
 
@@ -56,6 +57,65 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double) {
+    def tsMillis: Long = ts.getTime
+  }
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class Session(key: String, session_start: Long, session_end: Long,
+                     n_events: Long, value_sum: Double)
+
+  /**
+   * Custom per-key state via flatMapGroupsWithState: gap-based
+   * sessionization — events for a key belong to one session until a
+   * quiet period of `gapMillis`; a closed session emits one row.
+   * Event-time timeout closes sessions when the watermark passes the
+   * gap. Input columns: (key string, ts timestamp, value double).
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, gapMillis: Long,
+                 watermark: String): Dataset[Session] = {
+    implicit val se = Encoders.product[SessionEvent]
+    implicit val ss = Encoders.product[SessionState]
+    implicit val so = Encoders.product[Session]
+    implicit val str = Encoders.STRING
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, s.start, s.end, s.n, s.sum))
+          } else {
+            val sorted = events.toSeq.sortBy(_.tsMillis)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMillis - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, e.tsMillis, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(key, s.start, s.end, s.n, s.sum)
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Write to an in-memory sink for tests / bounded polls (the
     * reference's bounded-read semantics: process what arrived, stop). */

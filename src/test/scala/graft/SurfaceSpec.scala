@@ -80,6 +80,31 @@ class SurfaceSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 3.0), ("a", 10.0), ("b", 5.0)))
   }
 
+  test("flatMapGroupsWithState sessionization over a file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    // key a: burst at 00:00-00:02, quiet, burst at 01:00; gap 10min
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
+      """{"ts": "2024-01-01T00:00:00", "k": "a", "v": 1.0}
+        |{"ts": "2024-01-01T00:02:00", "k": "a", "v": 2.0}
+        |{"ts": "2024-01-01T01:00:00", "k": "a", "v": 5.0}
+        |{"ts": "2024-01-01T02:30:00", "k": "b", "v": 7.0}
+        |{"ts": "2024-01-01T03:00:00", "k": "a", "v": 9.0}
+        |""".stripMargin)
+    val stream = StreamOps.readJsonStream(spark, dir,
+      "ts TIMESTAMP, k STRING, v DOUBLE")
+    val sessions = StreamOps.sessionize(stream, "k", "ts", "v",
+      gapMillis = 10 * 60 * 1000, watermark = "0 seconds")
+    StreamOps.runToMemory(sessions.toDF(), "sessions_test")
+    val out = spark.sql(
+      "SELECT key, n_events, value_sum FROM sessions_test ORDER BY key, session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the 00:00 burst closes when the 01:00 event arrives (gap exceeded);
+    // later sessions stay open at end-of-stream (bounded run) unless a
+    // newer event or watermark closes them
+    assert(out.contains(("a", 2L, 3.0)), s"got ${out.mkString(",")}")
+    assert(out.forall(_._1 == "a") || out.exists(_._1 == "b"))
+  }
+
   test("wsclient reads json and tsv from a live HTTP server") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
