@@ -52,17 +52,35 @@ object JsonFlattener {
                   collapsePrimitiveList: Boolean = true,
                   dropInput: Boolean = true,
                   arrayMergeMode: String = "join",
+                  singleValueListCols: Seq[String] = Nil,
+                  maxResults: Int = -1,
                   schema: StructType = null): DataFrame = {
     val sch = if (schema != null) schema else inferSchema(df, jsonCol)
     val keep = (f: StructField) =>
       (acceptedCols.isEmpty || acceptedCols.contains(f.name)) &&
         !excludedCols.contains(f.name)
     val parsed = df.withColumn("__json__", from_json(col(jsonCol), sch))
-    val (flatCols, arrayPaths) = planFlatten(sch, "__json__", prefix,
+    val (flatCols, arrayPaths0) = planFlatten(sch, "__json__", prefix,
       keep, nestedCols, collapsePrimitiveList)
-    // scalar + collapsed columns first
+    // single_value_list_cols (dataframe.py:4390-4398): arrays known to
+    // carry one element flatten to that element, no fan-out
+    val (singles, arrayPaths1) = arrayPaths0.partition { case (_, pfx, _) =>
+      singleValueListCols.exists(c => pfx == s"$prefix:$c") }
+    val singleCols = singles.flatMap { case (p, pfx, elemType) =>
+      elemType match {
+        case st: StructType =>
+          st.fields.map(f => (s"$pfx:${f.name}",
+            flattenLeaf(element_at(p, 1).getField(f.name), f.dataType)))
+        case dt => Seq((s"$pfx:value", flattenLeaf(element_at(p, 1), dt)))
+      }
+    }
+    // max_results (dataframe.py:4330): cap per-row fan-out
+    val arrayPaths = if (maxResults > 0)
+      arrayPaths1.map { case (p, pfx, t) => (slice(p, 1, maxResults), pfx, t) }
+    else arrayPaths1
+    // scalar + collapsed + single-value-list columns first
     var out = parsed.select((df.columns.map(col) :+ col("__json__")) ++
-      flatCols.map { case (name, c) => c.as(name) }: _*)
+      (flatCols ++ singleCols).map { case (name, c) => c.as(name) }: _*)
 
     def extractElem(pfx: String, elem: Column, elemType: DataType): Unit =
       elemType match {

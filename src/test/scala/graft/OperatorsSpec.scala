@@ -51,6 +51,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(r2.length == 1 && r2.head.getAs[Int]("j:items:__explode_json_len__") == 0)
   }
 
+  test("explodeJson singleValueListCols and maxResults options") {
+    val df = Seq(
+      ("""{"one": [{"a": 7}], "many": [{"b": 1}, {"b": 2}, {"b": 3}]}""", "r")
+    ).toDF("js", "tag")
+    val out = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      singleValueListCols = Seq("one"), maxResults = 2)
+    assert(out.count() == 2) // many capped at 2, one doesn't fan out
+    assert(out.select("j:one:a").distinct().head().getString(0) == "7")
+    assert(out.select("j:many:b").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1", "2"))
+  }
+
   test("explodeJson cogroup mode pad-aligns multiple arrays") {
     val df = Seq(
       ("""{"xs": [{"a": 1}, {"a": 2}, {"a": 3}], "ys": [{"b": 9}]}""", "r")
