@@ -54,6 +54,7 @@ object JsonFlattener {
                   arrayMergeMode: String = "join",
                   singleValueListCols: Seq[String] = Nil,
                   maxResults: Int = -1,
+                  transposeColGroups: Seq[String] = Nil,
                   schema: StructType = null): DataFrame = {
     val sch = if (schema != null) schema else inferSchema(df, jsonCol)
     val keep = (f: StructField) =>
@@ -74,13 +75,31 @@ object JsonFlattener {
         case dt => Seq((s"$pfx:value", flattenLeaf(element_at(p, 1), dt)))
       }
     }
+    // transpose_col_groups (dataframe.py:4522-4550): an array of
+    // {key, value} entries pivots to one column per distinct key. Keys
+    // are data — discovered from a bounded sample like the schema.
+    val (transposed, arrayPaths2) = arrayPaths1.partition { case (_, pfx, t) =>
+      transposeColGroups.exists(c => pfx == s"$prefix:$c") && (t match {
+        case st: StructType => st.fieldNames.toSet == Set("key", "value")
+        case _ => false
+      })
+    }
+    val transposeCols: Seq[(String, Column)] = transposed.flatMap { case (p, pfx, _) =>
+      val keyRows = parsed.select(explode(p).as("__e__"))
+        .select(col("__e__.key").cast(StringType)).limit(10000)
+        .distinct().collect().map(_.getString(0)).sorted
+      val asMap = map_from_entries(transform(p,
+        e => struct(e.getField("key").cast(StringType).as("key"),
+          e.getField("value").cast(StringType).as("value"))))
+      keyRows.toSeq.map(k => (s"$pfx:$k", element_at(asMap, k)))
+    }
     // max_results (dataframe.py:4330): cap per-row fan-out
     val arrayPaths = if (maxResults > 0)
-      arrayPaths1.map { case (p, pfx, t) => (slice(p, 1, maxResults), pfx, t) }
-    else arrayPaths1
-    // scalar + collapsed + single-value-list columns first
+      arrayPaths2.map { case (p, pfx, t) => (slice(p, 1, maxResults), pfx, t) }
+    else arrayPaths2
+    // scalar + collapsed + single-value-list + transposed columns first
     var out = parsed.select((df.columns.map(col) :+ col("__json__")) ++
-      (flatCols ++ singleCols).map { case (name, c) => c.as(name) }: _*)
+      (flatCols ++ singleCols ++ transposeCols).map { case (name, c) => c.as(name) }: _*)
 
     def extractElem(pfx: String, elem: Column, elemType: DataType): Unit =
       elemType match {

@@ -51,6 +51,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(r2.length == 1 && r2.head.getAs[Int]("j:items:__explode_json_len__") == 0)
   }
 
+  test("explodeJson transposeColGroups pivots key/value subtrees") {
+    val df = Seq(
+      ("""{"id": 1, "props": [{"key": "os", "value": "linux"}, {"key": "cpu", "value": "x86"}]}""", "r1"),
+      ("""{"id": 2, "props": [{"key": "os", "value": "mac"}]}""", "r2"),
+    ).toDF("js", "tag")
+    val out = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      transposeColGroups = Seq("props"))
+    assert(out.count() == 2) // no fan-out: props pivots to columns
+    val r = out.orderBy("j:id").collect()
+    assert(r(0).getAs[String]("j:props:os") == "linux")
+    assert(r(0).getAs[String]("j:props:cpu") == "x86")
+    assert(r(1).getAs[String]("j:props:os") == "mac")
+    assert(r(1).getAs[String]("j:props:cpu") == null)
+  }
+
   test("explodeJson singleValueListCols and maxResults options") {
     val df = Seq(
       ("""{"one": [{"a": 7}], "many": [{"b": 1}, {"b": 2}, {"b": 3}]}""", "r")
