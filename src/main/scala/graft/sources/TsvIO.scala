@@ -46,6 +46,19 @@ object TsvIO {
       .option("sep", sep).option("header", "true")
       .csv(path)
 
+  /** Scan-time projection/filter sugar (reference hydra.py:156-257
+    * read_with_filter_transform): the reference applies these per record
+    * while reading; here Catalyst pushes the same work into the scan
+    * automatically — this API just keeps the call-site shape. */
+  def readWithFilterTransform(spark: SparkSession, paths: Seq[String],
+                              cols: Seq[String] = Nil,
+                              filterCond: org.apache.spark.sql.Column = null): DataFrame = {
+    var df = read(spark, paths)
+    if (filterCond != null) df = df.filter(filterCond)
+    if (cols.nonEmpty) df = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    df
+  }
+
   /** Plain CSV read (reference hydra.py:127-140). */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "false").csv(path)

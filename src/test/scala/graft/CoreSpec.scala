@@ -42,6 +42,15 @@ class CoreSpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSet == Set(Seq("3.5", "5.1")))
   }
 
+  test("snake_case compat surface reads like the reference API") {
+    import graft.compat._
+    val out = iris.eq_str("class", "Iris-setosa").gt_float("sepal_width", 3.1)
+      .select("sepal_width", "sepal_length")
+    assert(out.to_tuples() == Seq(Seq("3.5", "5.1")))
+    assert(iris.group_count("class").num_rows() == 3)
+    assert(iris.distinct_cols("class").num_rows() == 3)
+  }
+
   test("string-typed eq_int matches 3.0 as 3") {
     val df = XDF(Seq(("3.0", "a"), ("3", "b"), ("4", "c")).toDF("x", "tag"))
     assert(df.eqInt("x", 3).toDF.count() == 2)
