@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextOps
 import graft.operators.{Dedup, Similarity}
+import graft.core.XDF
 
 /**
  * Correctness-gate queries for the training-data pipeline operators
@@ -74,6 +75,24 @@ object TrainingQueries {
       docs(s, dir)
         .withColumn("sh", TextOps.simhash16(col("text")))
         .select("doc_id", "sh").orderBy("doc_id")),
+
+    "q_agg_quantile" -> ((s, dir) =>
+      XDF(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregate(Seq("l_returnflag"), Seq("l_quantity"), Seq("quantile4"))
+        .sort(Seq("l_returnflag")).toDF),
+
+    "q_text_clean" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("dirty", concat(lit("<p>Hello &amp; welcome</p> "),
+          col("text"), lit(" contact: admin@example.com or 555-123-4567")))
+        .withColumn("clean", TextOps.maskPii(TextOps.stripHtml(col("dirty"))))
+        .select("doc_id", "clean").orderBy("doc_id")),
+
+    "q_text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("dup3", round(TextOps.dupNgramRatio(col("text"), 3) + 1e-9, 4))
+        .withColumn("max_share", round(TextOps.maxTokenShare(col("text")) + 1e-9, 4))
+        .select("doc_id", "dup3", "max_share").orderBy("doc_id")),
 
     // ===== dedup =====
     // exact dedup demonstrated on a corpus with planted duplicates (the
@@ -185,6 +204,36 @@ object TrainingQueries {
                        + 1e-9, 6) AS quality
           FROM m ORDER BY doc_id"""
     },
+
+    "q_agg_quantile" ->
+      """SELECT l_returnflag,
+                array_to_string(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), ',')
+                  AS "l_quantity:quantile4"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(
+                  trim(regexp_replace(regexp_replace(regexp_replace(
+                    '<p>Hello &amp; welcome</p> ' || text ||
+                      ' contact: admin@example.com or 555-123-4567',
+                    '<[^>]*>', ' ', 'g'),
+                    '&(amp|lt|gt|quot|nbsp|#\d+);', ' ', 'g'),
+                    '\s+', ' ', 'g')),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\d[\d .-]{7,}\d', '<NUMBER>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, toks, ${shinglesSql(3)} AS s3 FROM t)
+          SELECT doc_id,
+                 round((len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3) + 1e-9, 4)
+                   AS dup3,
+                 round(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w))))::DOUBLE / len(toks)
+                   + 1e-9, 4) AS max_share
+          FROM sh ORDER BY doc_id""",
 
     "q_text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

@@ -64,20 +64,23 @@ object AggRegistry {
         ",")
     case "first" => first(c, ignoreNulls = false)
     case "last"  => last(c, ignoreNulls = false)
-    // exact percentiles; reference quantile* are exact over the value list
-    // (udfs.py:227-248)
-    case "median" | "quantile2" => percentile_approx(c.cast(DoubleType), lit(0.5), lit(1000000))
+    // exact interpolated percentiles, matching the reference's
+    // sorted-list quantiles (udfs.py:227-248); `median`/`percentile` are
+    // exact builtins (linear interpolation, same as quantile_cont)
+    case "median" | "quantile2" => median(c.cast(DoubleType))
     // multi-quantile results render as CSV cells, keeping the string-cell
     // convention (reference quantile4/10 return joined strings)
     case "quantile4" =>
       array_join(transform(
-        percentile_approx(c.cast(DoubleType), array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)),
+        percentile(c.cast(DoubleType), array(lit(0.25), lit(0.5), lit(0.75))),
         v => v.cast(StringType)), ",")
     case "quantile10" =>
       array_join(transform(
-        percentile_approx(c.cast(DoubleType),
-          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000000)),
+        percentile(c.cast(DoubleType),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)),
         v => v.cast(StringType)), ",")
+    case "approx_median" =>
+      percentile_approx(c.cast(DoubleType), lit(0.5), lit(10000))
     case "get_range_int" =>
       max(c.cast(DoubleType).cast(LongType)) - min(c.cast(DoubleType).cast(LongType))
     case other =>

@@ -92,6 +92,38 @@ object TextOps {
     when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** Strip HTML/XML tags and entities, collapse whitespace — the
+    * boilerplate-removal step of a web-corpus pipeline. */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "<[^>]*>", " "),
+      "&(amp|lt|gt|quot|nbsp|#\\d+);", " "),
+      "\\s+", " "))
+
+  /** Mask email addresses and long digit runs (phone/card-shaped) —
+    * the PII-scrub step of a training-data pipeline. */
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d[\\d .-]{7,}\\d", "<NUMBER>")
+
+  /** Duplicate n-gram ratio (Gopher-style repetition signal): fraction
+    * of n-gram occurrences that are repeats of an earlier n-gram.
+    * 0 = no repetition, -> 1 for degenerate loops. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val sh = wordShingles(text, n)
+    (size(sh) - size(array_distinct(sh))).cast(DoubleType) / size(sh)
+  }
+
+  /** Max single-token frequency share — another repetition signal
+    * (a single token dominating the doc). */
+  def maxTokenShare(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    array_max(counts).cast(DoubleType) / size(toks)
+  }
+
   /** Word n-gram shingles: ["a b c", "b c d", ...] for n-word windows.
     * Foundation for MinHash/Jaccard dedup. */
   def wordShingles(text: Column, n: Int): Column = {
