@@ -19,14 +19,18 @@ object Bench {
     // JIT/codegen + scheduler warm-up so the first timed query doesn't
     // absorb session startup
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    // failed pass records a sentinel so min() can never report a
+    // fast-failure as a benchmark time
+    val FailSentinel = 1e9
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+            false
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else FailSentinel)
       }
     // best of 2 passes: first pass absorbs page-cache/JIT warm-up noise
     val p1 = timeAll().toMap

@@ -22,8 +22,15 @@ object AggRegistry {
   private val custom =
     new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
 
-  def register(name: String, builder: Column => Column): Unit =
+  def register(name: String, builder: Column => Column): Unit = {
+    // refuse to shadow a builtin: the registry is JVM-global and a
+    // redefined "sum" would silently change every session's aggregates
+    val isBuiltin =
+      try { builtinExpr(name, lit(1)); true }
+      catch { case _: IllegalArgumentException => false }
+    require(!isBuiltin, s"cannot override builtin aggregate '$name'")
     custom.put(name, builder)
+  }
 
   /** Build the aggregate expression for a named function over a column.
     * Covers the reference udfs.py function library (udfs.py:9-413). */

@@ -71,8 +71,8 @@ object JsonFlattener {
       elemType match {
         case st: StructType =>
           st.fields.map(f => (s"$pfx:${f.name}",
-            flattenLeaf(element_at(p, 1).getField(f.name), f.dataType)))
-        case dt => Seq((s"$pfx:value", flattenLeaf(element_at(p, 1), dt)))
+            flattenLeaf(try_element_at(p, lit(1)).getField(f.name), f.dataType)))
+        case dt => Seq((s"$pfx:value", flattenLeaf(try_element_at(p, lit(1)), dt)))
       }
     }
     // transpose_col_groups (dataframe.py:4522-4550): an array of
@@ -87,11 +87,14 @@ object JsonFlattener {
     val transposeCols: Seq[(String, Column)] = transposed.flatMap { case (p, pfx, _) =>
       val keyRows = parsed.select(explode(p).as("__e__"))
         .select(col("__e__.key").cast(StringType)).limit(10000)
-        .distinct().collect().map(_.getString(0)).sorted
-      val asMap = map_from_entries(transform(p,
-        e => struct(e.getField("key").cast(StringType).as("key"),
-          e.getField("value").cast(StringType).as("value"))))
-      keyRows.toSeq.map(k => (s"$pfx:$k", element_at(asMap, k)))
+        .distinct().collect().map(_.getString(0)).filter(_ != null).sorted
+      // first-wins per key via filter (map_from_entries would throw on
+      // duplicate or null keys under the default dedup policy)
+      keyRows.toSeq.map { k =>
+        (s"$pfx:$k",
+          try_element_at(filter(p, e => e.getField("key").cast(StringType) === k),
+            lit(1)).getField("value").cast(StringType))
+      }
     }
     // max_results (dataframe.py:4330): cap per-row fan-out
     val arrayPaths = if (maxResults > 0)
@@ -115,13 +118,16 @@ object JsonFlattener {
     if (arrayMergeMode == "cogroup" && arrayPaths.length > 1) {
       // pad-align ALL array paths positionally (reference's cogroup
       // merge, dataframe.py:4556-4576): one fan-out, arrays_zip pads
-      // shorter lists with null
-      arrayPaths.foreach { case (_, pfx, _) =>
+      // shorter lists with null. Null/missing arrays coalesce to empty —
+      // arrays_zip is null-intolerant and would otherwise drop the row's
+      // other arrays entirely.
+      arrayPaths.foreach { case (p, pfx, _) =>
         out = out.withColumn(s"$pfx:__explode_json_len__",
-          coalesce(size(arrayPaths.find(_._2 == pfx).get._1), lit(0)))
+          coalesce(size(p), lit(0)))
       }
       val zipped = arrays_zip(arrayPaths.zipWithIndex.map {
-        case ((p, _, _), i) => p.as(s"a$i") }: _*)
+        case ((p, _, t), i) =>
+          coalesce(p, array().cast(ArrayType(t))).as(s"a$i") }: _*)
       out = out.select(out.columns.map(col) :+
         posexplode_outer(zipped).as(Seq("__pos__", "__z__")): _*)
       arrayPaths.zipWithIndex.foreach { case ((_, pfx, elemType), i) =>

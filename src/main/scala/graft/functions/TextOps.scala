@@ -116,12 +116,20 @@ object TextOps {
   }
 
   /** Max single-token frequency share — another repetition signal
-    * (a single token dominating the doc). */
+    * (a single token dominating the doc). Single pass over the SORTED
+    * token array tracking the longest equal-run — O(n log n), not the
+    * O(n^2) per-distinct-token rescan. */
   def maxTokenShare(text: Column): Column = {
     val toks = tokens(text)
-    val counts = transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))
-    array_max(counts).cast(DoubleType) / size(toks)
+    val state = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    state.getField("best").cast(DoubleType) / size(toks)
   }
 
   /** Word n-gram shingles: ["a b c", "b c d", ...] for n-word windows.

@@ -20,8 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => exprs match {
         case Seq(child) => Mmh3Hash64(child, 0L)
         case Seq(child, seed) =>
-          Mmh3Hash64(child,
-            seed.eval().asInstanceOf[Number].longValue())
+          val seedVal = seed match {
+            case lit if lit.foldable =>
+              lit.eval() match {
+                case n: Number => n.longValue()
+                case other => throw new IllegalArgumentException(
+                  s"mmh3_64 seed must be an integer literal, got $other")
+              }
+            case _ => throw new IllegalArgumentException(
+              "mmh3_64 seed must be an integer literal, not a column")
+          }
+          Mmh3Hash64(child, seedVal)
         case _ => throw new IllegalArgumentException(
           "mmh3_64(expr[, seed]) takes 1 or 2 arguments")
       }))

@@ -61,22 +61,37 @@ case class ReservoirSampleAgg(child: Expression, k: Int, seed: Long,
   override def merge(b: Reservoir, o: Reservoir): Reservoir = {
     if (o.seen == 0) return b
     if (b.seen == 0) { b.seen = o.seen; b.items.clear(); b.items ++= o.items; return b }
-    // weighted merge: fill to k, then each slot keeps b's item with
-    // probability seen_b / (seen_b + seen_o)
     val total = b.seen + o.seen
-    val r = b.rng(seed ^ o.seen)
-    val oItems = scala.util.Random.javaRandomToRandom(r).shuffle(o.items.toSeq)
-    var oi = 0
-    if (b.items.length < k) {
-      while (b.items.length < k && oi < oItems.length) { b.items += oItems(oi); oi += 1 }
-    } else {
-      val pB = b.seen.toDouble / total
-      var i = 0
-      while (i < b.items.length && oi < oItems.length) {
-        if (r.nextDouble() >= pB) { b.items(i) = oItems(oi); oi += 1 }
-        i += 1
-      }
+    if (b.items.length + o.items.length <= k) {
+      // both reservoirs are complete samples of their streams
+      b.items ++= o.items
+      b.seen = total
+      return b
     }
+    // weighted draw without replacement: each reservoir item represents
+    // seen/|items| stream elements; draw k picking a side proportional
+    // to its remaining represented weight. This keeps per-element
+    // selection probability ~k/total even when one side is under-full
+    // (the naive fill-then-swap favored the small side enormously).
+    val r = b.rng(seed ^ o.seen)
+    val sr = scala.util.Random.javaRandomToRandom(r)
+    val bItems = sr.shuffle(b.items.toSeq)
+    val oItems = sr.shuffle(o.items.toSeq)
+    val wPerB = b.seen.toDouble / bItems.length
+    val wPerO = o.seen.toDouble / oItems.length
+    var wb = b.seen.toDouble
+    var wo = o.seen.toDouble
+    var bi = 0
+    var oi = 0
+    val picked = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    while (picked.length < k && (bi < bItems.length || oi < oItems.length)) {
+      val takeB = bi < bItems.length &&
+        (oi >= oItems.length || r.nextDouble() < wb / (wb + wo))
+      if (takeB) { picked += bItems(bi); bi += 1; wb -= wPerB }
+      else { picked += oItems(oi); oi += 1; wo -= wPerO }
+    }
+    b.items.clear()
+    b.items ++= picked
     b.seen = total
     b
   }

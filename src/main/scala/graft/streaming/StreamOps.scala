@@ -100,7 +100,11 @@ object StreamOps {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.tsMillis - s.end <= gapMillis =>
-                  cur = Some(SessionState(s.start, e.tsMillis, s.n + 1, s.sum + e.value))
+                  // late events extend bounds monotonically - never
+                  // rewind `end` (that would split future sessions and
+                  // produce a below-watermark timeout)
+                  cur = Some(SessionState(math.min(s.start, e.tsMillis),
+                    math.max(s.end, e.tsMillis), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += Session(key, s.start, s.end, s.n, s.sum)
                   cur = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
@@ -110,7 +114,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMillis)
+              // a timeout at/below the watermark throws; clamp just past
+              // it so very-late sessions close on the next trigger
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.end + gapMillis, wm + 1))
             }
             closed.iterator
           }

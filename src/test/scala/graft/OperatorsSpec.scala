@@ -78,6 +78,29 @@ class OperatorsSpec extends SparkTestBase {
       Seq("1", "2"))
   }
 
+  test("explodeJson cogroup keeps rows where one array is missing") {
+    val df = Seq(
+      ("""{"xs": [{"a": 1}, {"a": 2}], "ys": [{"b": 9}]}""", "full"),
+      ("""{"xs": [{"a": 5}]}""", "noys"),
+    ).toDF("js", "tag")
+    val out = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      arrayMergeMode = "cogroup")
+    // the ys-less row must still fan out its xs (arrays_zip is
+    // null-intolerant without the coalesce guard)
+    val noys = out.filter(col("tag") === "noys").collect()
+    assert(noys.length == 1 && noys.head.getAs[String]("j:xs:a") == "5")
+    assert(out.filter(col("tag") === "full").count() == 2)
+  }
+
+  test("explodeJson transposeColGroups tolerates duplicate keys (first wins)") {
+    val df = Seq(
+      ("""{"props": [{"key": "os", "value": "linux"}, {"key": "os", "value": "dup"}]}""", "r")
+    ).toDF("js", "tag")
+    val out = graft.core.JsonFlattener.explodeJson(df, "js", "j",
+      transposeColGroups = Seq("props"))
+    assert(out.select("j:props:os").head().getString(0) == "linux")
+  }
+
   test("explodeJson cogroup mode pad-aligns multiple arrays") {
     val df = Seq(
       ("""{"xs": [{"a": 1}, {"a": 2}, {"a": 3}], "ys": [{"b": 9}]}""", "r")
