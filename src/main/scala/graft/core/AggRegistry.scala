@@ -57,17 +57,27 @@ object AggRegistry {
     case "mean" | "avg" => avg(c.cast(DoubleType))
     // stdev, 0 when n < 2 (udfs.py:67-75)
     case "std_dev" => coalesce(stddev_samp(c.cast(DoubleType)), lit(0.0))
-    case "mkstr"   => concat_ws(",", collect_list(c.cast(StringType)))
+    // mkstr family drops blank cells like the reference (udfs.py:77-83
+    // filters len(strip())==0); `when` without otherwise -> null, which
+    // collect_list skips
+    case "mkstr" =>
+      concat_ws(",", collect_list(when(trim(c.cast(StringType)) =!= "", c.cast(StringType))))
     case "sorted_mkstr" =>
-      array_join(array_sort(collect_list(c.cast(StringType))), ",")
+      array_join(array_sort(collect_list(
+        when(trim(c.cast(StringType)) =!= "", c.cast(StringType)))), ",")
+    // %.4f formatting - format_number would insert thousands separators
+    // that collide with the list separator
     case "mkstr4f" =>
-      concat_ws(",", collect_list(format_number(c.cast(DoubleType), 4)))
+      concat_ws(",", collect_list(when(trim(c.cast(StringType)) =!= "",
+        format_string("%.4f", c.cast(DoubleType)))))
     case "uniq_mkstr" =>
-      array_join(array_sort(array_distinct(collect_list(c.cast(StringType)))), ",")
+      array_join(array_sort(array_distinct(collect_list(
+        when(trim(c.cast(StringType)) =!= "", c.cast(StringType))))), ",")
     // comma-split aware distinct merge (udfs.py:47-61, 212-219)
     case "merge_uniq" | "split_merge_uniq_mkstr" =>
       array_join(
-        array_sort(array_distinct(flatten(collect_list(split(c.cast(StringType), ","))))),
+        array_sort(array_remove(array_distinct(
+          flatten(collect_list(split(c.cast(StringType), ",")))), "")),
         ",")
     case "first" => first(c, ignoreNulls = false)
     case "last"  => last(c, ignoreNulls = false)

@@ -56,7 +56,13 @@ object JsonFlattener {
                   maxResults: Int = -1,
                   transposeColGroups: Seq[String] = Nil,
                   schema: StructType = null): DataFrame = {
-    val sch = if (schema != null) schema else inferSchema(df, jsonCol)
+    val sch = if (schema != null) schema
+    else {
+      Log.warnOnce("explode_json: schema inferred from a bounded sample; " +
+        "keys first appearing beyond it will be absent — pass schema= or " +
+        "inferSchema(sampleRows = 0) for heterogeneous payloads")
+      inferSchema(df, jsonCol)
+    }
     val keep = (f: StructField) =>
       (acceptedCols.isEmpty || acceptedCols.contains(f.name)) &&
         !excludedCols.contains(f.name)

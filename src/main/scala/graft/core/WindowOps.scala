@@ -64,10 +64,20 @@ object WindowOps {
     val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()
       .withColumn("__ord__",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))) - 1)
+    // only COMPLETE windows exist (reference dataframe.py:676-678 assigns
+    // win_index only while num_values - win_index >= winsize): valid
+    // window starts are 0 .. n-winSize
+    val n = distinctVals.count()
+    val maxStart = n - winSize
+    if (maxStart < 0)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        windowAggregate(df.limit(0), winCol, aggCols, aggFuncs, winSize).schema)
     val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
       .join(broadcast(distinctVals), Seq(winCol), "inner")
       .withColumn("__win__", explode(sequence(
-        greatest(lit(0), col("__ord__") - (winSize - 1)), col("__ord__"))))
+        greatest(lit(0L), col("__ord__") - (winSize - 1)),
+        least(col("__ord__").cast("long"), lit(maxStart)))))
     val label = concat_ws(" - ", min(col(winCol)), max(col(winCol)))
     val exprs = label.as(s"$winCol:window") +:
       aggCols.zip(aggFuncs).map { case (c, f) =>

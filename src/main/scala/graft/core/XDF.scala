@@ -269,7 +269,8 @@ case class XDF(df: DataFrame) {
 
   def replaceStrInline(cols: Seq[String], from: String, to: String): XDF =
     transformInline(cols, x =>
-      regexp_replace(x.cast(StringType), java.util.regex.Pattern.quote(from), to))
+      regexp_replace(x.cast(StringType), java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to)))
 
   /** Normalize SQL NULLs to the engine's "" null convention across all
     * string columns — the ingestion bridge from null-bearing sources
@@ -321,7 +322,10 @@ case class XDF(df: DataFrame) {
     * (dataframe.py:5321-5381). */
   def resolveTemplateCol(templateCol: String, newCol: String): XDF = {
     val filled = header.foldLeft(col(templateCol).cast(StringType)) { (acc, c) =>
-      regexp_replace(acc, lit(java.util.regex.Pattern.quote(s"{$c}")), col(c).cast(StringType))
+      // escape \ and $ in the data value: regexp_replace treats the
+      // replacement as a template ("$1" would throw/mis-substitute)
+      val safe = regexp_replace(col(c).cast(StringType), "([\\\\$])", "\\\\$1")
+      regexp_replace(acc, lit(java.util.regex.Pattern.quote(s"{$c}")), safe)
     }
     transform(newCol, filled)
   }
@@ -460,11 +464,14 @@ case class XDF(df: DataFrame) {
     require(lkeys.length == rkeys.length, "lkeys/rkeys length mismatch")
     val lNonKey = header.filterNot(lkeys.contains)
     val rNonKey = other.getHeader.filterNot(rkeys.contains)
-    val clash = lNonKey.toSet.intersect(rNonKey.toSet)
+    // a right non-key column named like a LEFT KEY would be silently
+    // overwritten by the rkey-copy mechanism below — suffix it too
+    val clash = lNonKey.toSet.intersect(rNonKey.toSet) ++
+      rNonKey.toSet.intersect(lkeys.toSet)
     if (clash.nonEmpty)
       require(lsuffix.nonEmpty && rsuffix.nonEmpty,
-        s"clashing non-key columns $clash need lsuffix/rsuffix")
-    val l = clash.foldLeft(df)((d, c) =>
+        s"clashing columns $clash need lsuffix/rsuffix")
+    val l = clash.intersect(lNonKey.toSet).foldLeft(df)((d, c) =>
       d.withColumnRenamed(c, ColumnResolver.withSuffix(c, lsuffix)))
     // Rename right keys to the left names and join `using` them (single,
     // coalesced key col in the output); differently-named right keys are
@@ -486,12 +493,22 @@ case class XDF(df: DataFrame) {
         d.withColumnRenamed(s"__rkeycopy__$rk", rk)
       else d
     }
-    // default fills on non-matched side (dataframe.py:3376, def_val_map)
-    val fillTargets =
-      if (joinType == "left_semi" || joinType == "left_anti") Nil
-      else joined.columns.toSeq
+    // default fills target only the NON-MATCHED side's columns
+    // (dataframe.py:3545-3561 builds defaults for the other side's
+    // non-key cols) — never the probe side's own genuine nulls
+    val rOutCols = rNonKey.map(c =>
+      if (clash.contains(c)) ColumnResolver.withSuffix(c, rsuffix) else c) ++
+      rkeys.zip(lkeys).collect { case (rk, lk) if rk != lk => rk }
+    val lOutCols = lNonKey.map(c =>
+      if (clash.contains(c)) ColumnResolver.withSuffix(c, lsuffix) else c)
+    val fillTargets: Seq[String] = joinType match {
+      case "left" => rOutCols
+      case "right" => lOutCols
+      case "full" => lOutCols ++ rOutCols
+      case _ => Nil
+    }
     val filled = fillTargets.foldLeft(joined) { (d, c) =>
-      defValMap.get(c).orElse(Option(defaultVal).filter(_ => joinType != "inner")) match {
+      defValMap.get(c).orElse(Option(defaultVal)) match {
         case Some(v) => d.withColumn(c, coalesce(col(c).cast(StringType), lit(v)))
         case None => d
       }
@@ -551,6 +568,10 @@ case class XDF(df: DataFrame) {
     * Needs a global row id on both sides — inherently a full sort at
     * scale; kept for parity. Order defined by `orderCols` per side. */
   def concatAsCols(other: XDF, orderCols: Seq[String], otherOrderCols: Seq[String]): XDF = {
+    // fail fast on cardinality mismatch like the reference
+    // (dataframe.py:2561-2562) — an inner zip would silently truncate
+    val (ln, rn) = (df.count(), other.df.count())
+    require(ln == rn, s"concatAsCols row-count mismatch: $ln vs $rn")
     // "-col" prefix = descending
     def withId(d: DataFrame, oc: Seq[String]) =
       d.withColumn("__zip_id__", row_number().over(Window.orderBy(oc.map(c =>

@@ -136,23 +136,30 @@ object GraphOps {
    */
   def forwardPaths(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("target"))
-    var paths = roots.select(col("node_id")).distinct()
-      .withColumn("n_paths", lit(1L))
-    var frontier = paths
+    val base = roots.select(col("node_id")).distinct()
+      .withColumn("n_paths", lit(1L)).localCheckpoint()
+    // recompute counts from scratch each round: paths_i(v) = [v is root]
+    // + sum over in-edges of paths_{i-1}(u). A frontier-with-anti-join
+    // would freeze a node's count at its FIRST discovery depth and drop
+    // contributions arriving via longer routes (root->a->b vs root->b).
+    // After i rounds counts cover all paths of length <= i; fixpoint on
+    // a DAG within maxIter.
+    var paths = base
     var i = 0
     var done = false
+    var prevTotal = -1L
     while (i < maxIter && !done) {
-      val contrib = frontier.join(e, frontier("node_id") === e("src"), "inner")
+      val contrib = paths.join(e, paths("node_id") === e("src"), "inner")
         .groupBy(col("target").as("node_id"))
         .agg(sum("n_paths").as("n_paths"))
-        .join(paths.select(col("node_id").as("seen")),
-          col("node_id") === col("seen"), "left_anti")
+      val next = base.select(col("node_id"), col("n_paths"))
+        .unionByName(contrib.select(col("node_id"), col("n_paths")))
+        .groupBy("node_id").agg(sum("n_paths").as("n_paths"))
         .localCheckpoint()
-      if (contrib.isEmpty) done = true
-      else {
-        paths = paths.union(contrib.select("node_id", "n_paths"))
-        frontier = contrib.select("node_id", "n_paths")
-      }
+      val total = next.agg(sum("n_paths")).head().getLong(0)
+      if (total == prevTotal) done = true
+      prevTotal = total
+      paths = next
       i += 1
     }
     paths

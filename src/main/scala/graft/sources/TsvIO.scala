@@ -76,26 +76,30 @@ object TsvIO {
     * of each entry, URL-decoded like `read`. */
   def readZip(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lines = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+    // each entry drops ITS OWN first line as the header (a data row that
+    // happens to equal the header text survives); entries carry their
+    // header along so mismatched entry schemas fail loudly
+    val tagged = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
       val zis = new java.util.zip.ZipInputStream(pds.open())
       Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
         .filterNot(_.isDirectory)
         .flatMap { _ =>
-          new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            .linesIterator.toSeq
+          val ls = new String(zis.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+          if (ls.isEmpty) Seq.empty else ls.tail.map(l => (ls.head, l))
         }.toSeq
     }
     val spark2 = spark
     import spark2.implicits._
-    val ds = lines.toDS()
-    val headerLine = ds.head()
-    val header = headerLine.split(java.util.regex.Pattern.quote(sep), -1)
-    val rows = ds.filter(col("value") =!= headerLine)
-    val parsed = rows.select((0 until header.length).map(i =>
+    val ds = tagged.toDS().toDF("__hdr__", "value")
+    val headers = ds.select("__hdr__").distinct().collect().map(_.getString(0))
+    require(headers.length == 1,
+      s"zip entries carry differing headers: ${headers.take(3).mkString(" | ")}")
+    val header = headers.head.split(java.util.regex.Pattern.quote(sep), -1)
+    ds.select((0 until header.length).map(i =>
       url_decode(regexp_replace(
         element_at(split(col("value"), java.util.regex.Pattern.quote(sep), -1), i + 1),
         "\\+", "%20")).as(header(i))): _*)
-    parsed
   }
 
   /**

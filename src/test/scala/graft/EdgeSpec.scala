@@ -8,6 +8,58 @@ import graft.core.{Sampling, XDF}
 class EdgeSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("resolveTemplateCol tolerates $ and backslash in data") {
+    val df = XDF(Seq(("$42.00", "price is {price}", "a\\b"))
+      .toDF("price", "tpl", "other"))
+    val out = df.resolveTemplateCol("tpl", "msg").toDF.head()
+    assert(out.getAs[String]("msg") == "price is $42.00")
+  }
+
+  test("mkstr family drops blank cells, mkstr4f has no thousands separators") {
+    import graft.core.AggRegistry
+    val df = Seq(("g", "b"), ("g", ""), ("g", "a"), ("g", " ")).toDF("k", "v")
+    val r = df.groupBy("k").agg(
+      AggRegistry.expr("mkstr", col("v")).as("m"),
+      AggRegistry.expr("sorted_mkstr", col("v")).as("sm")).head()
+    assert(r.getAs[String]("m").split(",").sorted.toSeq == Seq("a", "b"))
+    assert(r.getAs[String]("sm") == "a,b")
+    val big = Seq(("g", 1234.5)).toDF("k", "v")
+    val f = big.groupBy("k").agg(AggRegistry.expr("mkstr4f", col("v"))).head()
+    assert(f.getString(1) == "1234.5000") // no "1,234.5000"
+  }
+
+  test("joins: defaults only fill the non-matched side; key-name clash guarded") {
+    val l = XDF(Seq(("1", null: String), ("2", "lv2")).toDF("id", "lval"))
+    val r = XDF(Seq(("1", "rv1")).toDF("rid", "rval"))
+    val out = l.leftJoin(r, Seq("id"), Seq("rid"), defaultVal = "DEF").toDF
+    val m = out.collect().map(x => x.getAs[String]("id") ->
+      (x.getAs[String]("lval"), x.getAs[String]("rval"))).toMap
+    assert(m("1") == ((null, "rv1")), "matched left null must stay null")
+    assert(m("2") == (("lv2", "DEF")), "unmatched right side fills")
+    // right non-key column named like the left key must demand suffixes
+    val rClash = XDF(Seq(("1", "boom")).toDF("rid", "id"))
+    intercept[IllegalArgumentException] {
+      l.innerJoin(rClash, Seq("id"), Seq("rid"))
+    }
+  }
+
+  test("concatAsCols fails fast on row-count mismatch") {
+    val a = XDF(Seq("1", "2").toDF("x"))
+    val b = XDF(Seq("1").toDF("y"))
+    intercept[IllegalArgumentException] {
+      a.concatAsCols(b, Seq("x"), Seq("y"))
+    }
+  }
+
+  test("forwardPaths counts multi-route paths") {
+    val edges = Seq(("root", "a"), ("root", "b"), ("a", "b")).toDF("src", "target")
+    val roots = Seq("root").toDF("node_id")
+    val out = graft.operators.GraphOps.forwardPaths(edges, roots).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(out("b") == 2L, s"two routes to b, got $out")
+    assert(out("a") == 1L && out("root") == 1L)
+  }
+
   test("resolveTemplateCol fills placeholders from row values") {
     val df = XDF(Seq(("alice", "Hi {name}, meet {other}", "bob"))
       .toDF("name", "tpl", "other"))

@@ -137,8 +137,9 @@ class OperatorsSpec extends SparkTestBase {
         df, "d", Seq("v"), Seq("sum"), winSize = 2)
       .orderBy("d:window").collect()
       .map(r => r.getString(0) -> r.getDouble(1))
-    // start-indexed windows [a,b], [b,c], [c] (reference v[i:i+winsize])
-    assert(out.toSeq == Seq("a - b" -> 3.0, "b - c" -> 6.0, "c - c" -> 4.0))
+    // only COMPLETE windows [a,b], [b,c] — the reference assigns win
+    // indexes only while num_values - win_index >= winsize (DF:676-678)
+    assert(out.toSeq == Seq("a - b" -> 3.0, "b - c" -> 6.0))
   }
 
   test("welch t-test matches hand computation") {
