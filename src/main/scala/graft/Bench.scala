@@ -22,23 +22,27 @@ object Bench {
     // failed pass records a sentinel so min() can never report a
     // fast-failure as a benchmark time
     val FailSentinel = 1e9
-    def timeAll(): Seq[(String, Double)] =
+    def timeAll(): Seq[(String, (Double, Long))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val n = try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
-            false
+            -1L
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else FailSentinel)
+        name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
       }
     // best of 2 passes: first pass absorbs page-cache/JIT warm-up noise
-    val p1 = timeAll().toMap
-    val results = timeAll().map { case (n, t) => n -> math.min(t, p1(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val p1 = timeAll().map { case (n, (t, _)) => n -> t }.toMap
+    val results = timeAll().map { case (n, (t, c)) => (n, math.min(t, p1(n)), c) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // result row count per query: a sanity signal alongside the timing
+    // (a fast-but-empty result would otherwise look like a win)
+    val rows = results.map { case (k, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

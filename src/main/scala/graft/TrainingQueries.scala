@@ -273,16 +273,21 @@ object TrainingQueries {
           FROM sh ORDER BY doc_id""",
 
     "q_dedup_minhash_lsh" -> {
+      // double hashing, mirroring Dedup.lshBands: one md5 per shingle,
+      // h1/h2 = first/second 8 hex chars, lane i = (h1 + i*h2) mod 2^32
       val sigExprs = (0 until 12).map(i =>
-        s"list_min(list_transform(shingles, s -> substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8))) AS mh$i")
-        .mkString(",\n")
+        s"min((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n")
       val bandKeys = (0 until 4).map { b =>
-        val parts = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        val parts = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
       }.mkString("\nUNION ALL\n")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t),
-          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          lanes AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(s), 9, 8))::BIGINT | 1 AS h2
+                    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+          sig AS (SELECT doc_id, $sigExprs FROM lanes GROUP BY doc_id),
           banded AS ($bandKeys),
           bmin AS (SELECT doc_id, band, band_key,
                      min(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min

@@ -60,14 +60,22 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "numHashes must divide into bands")
     val exploded = df.select(col(idCol),
       explode(TextOps.wordShingles(col(textCol), shingleSize)).as("__sh__"))
-    // md5 slicing: one md5 yields four independent 8-hex-char minhash
-    // lanes (hash i = slice i%4 of md5((i/4) || ':' || shingle)) — 1/4
-    // the digest work of one-md5-per-hash, same LSH guarantees
+    // double hashing (Kirsch-Mitzenmacher): ONE md5 per shingle yields two
+    // 32-bit lanes h1/h2; lane i = (h1 + i*h2) mod 2^32. Same LSH
+    // guarantees as independent hashes at 1/numHashes the digest work
+    // (previous md5-sliced variant still paid numHashes/4 digests).
+    // h2 | 1 keeps the stride odd so lanes never degenerate to h1.
+    val withLanes = exploded
+      .select(col(idCol), md5(col("__sh__")).as("__dg__"))
+      .select(col(idCol),
+        conv(substring(col("__dg__"), 1, 8), 16, 10).cast(LongType).as("__h1__"),
+        conv(substring(col("__dg__"), 9, 8), 16, 10).cast(LongType)
+          .bitwiseOR(lit(1L)).as("__h2__"))
     val minAggs = (0 until numHashes).map { i =>
-      val digest = md5(concat(lit((i / 4) + ":"), col("__sh__")))
-      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"__mh${i}__")
+      min(pmod(col("__h1__") + lit(i.toLong) * col("__h2__"), lit(4294967296L)))
+        .as(s"__mh${i}__")
     }
-    val sig = exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val sig = withLanes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
