@@ -36,12 +36,12 @@ object Dedup {
    * hash_i(shingle) = md5(i || ':' || shingle); signature[i] = lexicographic
    * min over shingles. Pure expressions — no UDF, no driver state.
    */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val shingles = TextOps.wordShingles(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(i + ":"), s))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    TextOps.letOnce(TextOps.wordShingles(text, shingleSize)) { shingles =>
+      array((0 until numHashes).map { i =>
+        array_min(transform(shingles, s => md5(concat(lit(i + ":"), s))))
+      }: _*)
+    }
 
   /**
    * LSH banding: (bandId, bandKey) rows where bandKey = md5 of the
@@ -118,12 +118,14 @@ object Dedup {
    * Exact n-gram Jaccard similarity for candidate pairs: given a pair DF
    * with two text columns, append the Jaccard of their shingle sets.
    */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(TextOps.wordShingles(a, n))
-    val sb = array_distinct(TextOps.wordShingles(b, n))
-    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
-    inter / (size(sa) + size(sb) - inter)
-  }
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    TextOps.letOnce(array_distinct(TextOps.wordShingles(a, n))) { sa =>
+      TextOps.letOnce(array_distinct(TextOps.wordShingles(b, n))) { sb =>
+        TextOps.letOnce(size(array_intersect(sa, sb)).cast(DoubleType)) { inter =>
+          inter / (size(sa) + size(sb) - inter)
+        }
+      }
+    }
 
   /**
    * Embedding near-dup: pairs of vectors with cosine similarity above
