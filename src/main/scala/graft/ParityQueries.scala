@@ -118,6 +118,19 @@ object ParityQueries {
       GraphOps.degrees(edges).orderBy("node_id")
     }),
 
+    // ===== graph: connected components over chain segments =====
+    "q_graph_cc" -> ((s, dir) => {
+      // chains of 4 consecutive order ranks (edge rank->rank+1 unless
+      // rank % 4 == 0); zero-padded ids so lexicographic = numeric order
+      val rn = t(s, dir, "orders").select(col("o_orderkey"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))))
+      val edges = rn.filter(col("rn") % 4 =!= 0)
+        .select(lpad(col("rn").cast(StringType), 6, "0").as("src"),
+          lpad((col("rn") + 1).cast(StringType), 6, "0").as("target"))
+      GraphOps.connectedComponents(edges).orderBy("node_id")
+    }),
+
     // ===== date-partitioned write + pruned scan =====
     "q_etl_scan" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_etl").toString
@@ -322,6 +335,23 @@ object ParityQueries {
                  coalesce(in_degree, 0) AS in_degree
           FROM o FULL JOIN i ON o.node_id = i.node_id
           ORDER BY node_id""",
+
+    "q_graph_cc" ->
+      """WITH RECURSIVE rn AS (
+           SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+         edges AS (
+           SELECT lpad(rn::VARCHAR, 6, '0') AS src,
+                  lpad((rn + 1)::VARCHAR, 6, '0') AS target
+           FROM rn WHERE rn % 4 <> 0),
+         sym AS (SELECT src AS a, target AS b FROM edges
+                 UNION SELECT target, src FROM edges),
+         nodes AS (SELECT DISTINCT a AS id FROM sym),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         SELECT id AS node_id, min(r) AS component
+         FROM reach GROUP BY id ORDER BY node_id""",
 
     "q_etl_scan" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, event_type,

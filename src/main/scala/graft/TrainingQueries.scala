@@ -34,6 +34,29 @@ object TrainingQueries {
         ELSE list_transform(range(1, len(toks) - ${n - 1} + 1),
                i -> array_to_string(toks[i:i+${n - 1}], ' ')) END"""
 
+  /** Shared CTE chain for the MinHash LSH oracles (through per-bucket
+    * min): double hashing mirroring Dedup.lshBands — one md5 per shingle,
+    * h1/h2 = first/second 8 hex chars, lane i = (h1 + i*h2) mod 2^32. */
+  private val minhashBucketCtes: String = {
+    val sigExprs = (0 until 12).map(i =>
+      s"min((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n")
+    val bandKeys = (0 until 4).map { b =>
+      val parts = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t),
+        lanes AS (SELECT doc_id,
+                    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                    ('0x' || substr(md5(s), 9, 8))::BIGINT | 1 AS h2
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        sig AS (SELECT doc_id, $sigExprs FROM lanes GROUP BY doc_id),
+        banded AS ($bandKeys),
+        bmin AS (SELECT doc_id, band, band_key,
+                   min(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
+                 FROM banded)"""
+  }
+
   private val langs = TextOps.StopWords.keys.toSeq.sorted
 
   private def langStructSql(l: String): String = {
@@ -114,6 +137,11 @@ object TrainingQueries {
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 12, bands = 4)
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_dedup_minhash_cc" -> ((s, dir) =>
+      Dedup.minhashDedupCC(docs(s, dir), "doc_id", "text",
           shingleSize = 3, numHashes = 12, bands = 4)
         .select("doc_id").orderBy("doc_id")),
 
@@ -272,29 +300,29 @@ object TrainingQueries {
             list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh3
           FROM sh ORDER BY doc_id""",
 
-    "q_dedup_minhash_lsh" -> {
-      // double hashing, mirroring Dedup.lshBands: one md5 per shingle,
-      // h1/h2 = first/second 8 hex chars, lane i = (h1 + i*h2) mod 2^32
-      val sigExprs = (0 until 12).map(i =>
-        s"min((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n")
-      val bandKeys = (0 until 4).map { b =>
-        val parts = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t),
-          lanes AS (SELECT doc_id,
-                      ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-                      ('0x' || substr(md5(s), 9, 8))::BIGINT | 1 AS h2
-                    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-          sig AS (SELECT doc_id, $sigExprs FROM lanes GROUP BY doc_id),
-          banded AS ($bandKeys),
-          bmin AS (SELECT doc_id, band, band_key,
-                     min(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
-                   FROM banded),
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $minhashBucketCtes,
           reps AS (SELECT doc_id, min(bucket_min) AS rep FROM bmin GROUP BY doc_id)
-          SELECT doc_id FROM reps WHERE doc_id = rep ORDER BY doc_id"""
-    },
+          SELECT doc_id FROM reps WHERE doc_id = rep ORDER BY doc_id""",
+
+    // transitive closure over the LSH bucket stars: recursive reachability
+    // replaces the one-hop bucket-min representative
+    "q_dedup_minhash_cc" ->
+      s"""WITH RECURSIVE $minhashBucketCtes,
+          edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
+                    FROM bmin WHERE doc_id <> bucket_min),
+          sym AS (SELECT src AS a, target AS b FROM edges
+                  UNION SELECT target, src FROM edges),
+          nodes AS (SELECT DISTINCT a AS id FROM sym),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          SELECT d.doc_id FROM documents d
+          LEFT JOIN comp ON d.doc_id = comp.id
+          WHERE comp.id IS NULL OR comp.component = d.doc_id
+          ORDER BY doc_id""",
 
     "q_dedup_simhash" -> simhashSql(
       """SELECT doc_id FROM (

@@ -43,11 +43,13 @@ object Udfs {
 
   /** Sorted pairwise gaps between collected epoch seconds, humanized CSV
     * (funclib.py:208-238 get_time_diffs) — aggregate expression. */
-  def getTimeDiffs(epochSec: Column): Column = {
-    val sorted = array_sort(collect_list(epochSec.cast(LongType)))
-    val diffs = when(size(sorted) < 2, array())
-      .otherwise(transform(sequence(lit(1), size(sorted) - 1),
-        i => element_at(sorted, i + 1) - element_at(sorted, i)))
-    array_join(transform(diffs, d => TimeFuncs.displayRelativeTime(d)), ",")
-  }
+  def getTimeDiffs(epochSec: Column): Column =
+    // let-bound: each element_at reference would otherwise re-sort the
+    // collected list (O(g^2 log g) per group)
+    TextOps.letOnce(array_sort(collect_list(epochSec.cast(LongType)))) { sorted =>
+      val diffs = when(size(sorted) < 2, array())
+        .otherwise(transform(sequence(lit(1), size(sorted) - 1),
+          i => element_at(sorted, i + 1) - element_at(sorted, i)))
+      array_join(transform(diffs, d => TimeFuncs.displayRelativeTime(d)), ",")
+    }
 }

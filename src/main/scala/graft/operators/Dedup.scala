@@ -105,6 +105,33 @@ object Dedup {
       .drop("__rep__")
   }
 
+  /**
+   * MinHash+LSH dedup with TRUE transitive closure: bucket membership
+   * becomes star edges (doc -> bucket min) and connected components
+   * collapse chains A~B~C even when A and C never share a bucket — the
+   * one-hop `minhashDedup` would keep such a C as a false survivor.
+   * Edges stay O(docs x bands) stars, never in-bucket pairs, so the
+   * component step adds only the label-propagation rounds (diameter of
+   * the dup clusters, typically 2-3) on a graph far smaller than the
+   * corpus.
+   */
+  def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                     maxIter: Int = 10): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, shingleSize, numHashes, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val edges = banded.withColumn("__bmin__", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("__bmin__"))
+      .select(col(idCol).as("src"), col("__bmin__").as("target"))
+      .distinct()
+    val comp = GraphOps.connectedComponents(edges, maxIter)
+      .select(col("node_id").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** SimHash-based near-dup: docs sharing an identical 16-bit simhash are
     * treated as duplicates; min doc id represents the cluster. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -129,6 +129,60 @@ object GraphOps {
   }
 
   /**
+   * Connected components over the undirected view of the edge list:
+   * (node_id, component) where component = the minimum node id reachable.
+   * Hash-min label propagation PLUS pointer doubling: each round first
+   * takes the min over neighbor labels (1 hop), then shortcuts every
+   * label to its label's label — so label information travels 2^i hops
+   * after i rounds and convergence is O(log diameter), not O(diameter)
+   * (a 1M-node chain resolves in ~20 rounds instead of 1M). Each round
+   * is two joins + one aggregation, fully distributed; label frontiers
+   * are localCheckpoint'ed so plan depth stays constant; `maxIter`
+   * bounds adversarial topologies.
+   *
+   * Beyond-parity: the reference has no component/closure operator — its
+   * graph layer stops at BFS levels (reference GT:7-78).
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("target").as("b"))
+      .union(edges.select(col("target").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node_id")).distinct()
+      .withColumn("component", col("node_id"))
+      .localCheckpoint()
+    var i = 0
+    var changed = 1L
+    while (i < maxIter && changed > 0) {
+      val nbrMin = sym.join(labels.select(col("node_id").as("b"), col("component")),
+          Seq("b"), "inner")
+        .groupBy(col("a").as("node_id"))
+        .agg(min(col("component")).as("__nbr_min__"))
+      val hopped = labels.join(nbrMin, Seq("node_id"), "left")
+        .select(col("node_id"), col("component").as("__old__"),
+          least(col("component"), coalesce(col("__nbr_min__"), col("component")))
+            .as("component"))
+        .localCheckpoint() // referenced twice below (self-join)
+      // pointer doubling: component <- component's component. Labels are
+      // node ids, so the lookup is a self-join on the hopped labels.
+      val next = hopped.join(
+          hopped.select(col("node_id").as("component"),
+            col("component").as("__cc__")),
+          Seq("component"), "left")
+        .select(col("node_id"),
+          coalesce(col("__cc__"), col("component")).as("component"),
+          (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__"))
+        .localCheckpoint()
+      // the final allowed iteration skips the fixpoint probe (its result
+      // could not trigger another round anyway)
+      changed = if (i + 1 < maxIter) next.filter(col("__chg__")).count() else 0L
+      labels = next.drop("__chg__")
+      i += 1
+    }
+    labels
+  }
+
+  /**
    * DAG ancestor paths from roots (reference GT:80-171
    * `get_forward_edges_only`, simplified to the path-count semantics):
    * per node, the number of distinct paths from any root and the set of

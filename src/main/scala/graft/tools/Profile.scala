@@ -48,6 +48,12 @@ object Profile {
     time("full minhashDedup") {
       Dedup.minhashDedup(docs, "doc_id", "text", 3, 12, 4).count()
     }
+    time("minhashDedupCC") {
+      Dedup.minhashDedupCC(docs, "doc_id", "text", 3, 12, 4).count()
+    }
+    time("q_graph_cc") {
+      graft.SparkEntry.queries("q_graph_cc")(spark, sfDir).count()
+    }
     spark.stop()
   }
 }

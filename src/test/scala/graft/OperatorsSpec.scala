@@ -164,6 +164,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(!out.contains(1L), "near-dup should collapse onto doc 0")
   }
 
+  test("connected components: multi-hop chains, isolated pairs, undirected") {
+    // chain a-b-c-d (given as mixed directions) + separate pair x-y
+    val edges = Seq(("b", "a"), ("b", "c"), ("d", "c"), ("x", "y"))
+      .toDF("src", "target")
+    val out = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("minhash CC dedup collapses transitive chains one-hop can miss") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val step1 = base.replace("delta", "delta2")   // ~1 word from base
+    val step2 = step1.replace("sigma", "sigma2")  // ~2 words from base
+    val distinct = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((0L, base), (1L, step1), (2L, step2), (3L, distinct))
+      .toDF("doc_id", "text")
+    val cc = Dedup.minhashDedupCC(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val oneHop = Dedup.minhashDedup(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cc == Set(0L, 3L), s"chain should collapse onto doc 0, got $cc")
+    // closure can only remove MORE docs than the one-hop approximation
+    assert(cc.subsetOf(oneHop))
+  }
+
   test("explodeMaps discovers output schema from data") {
     val df = Seq(("1", "a=1,b=2"), ("2", "c=9")).toDF("id", "kv")
     val out = graft.core.Reshape.explodeMaps(df, Seq("kv"),
