@@ -89,6 +89,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("law: connectedComponents equals local union-find on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 15), Gen.choose(0, 15)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen) { es =>
+      whenever(es.nonEmpty) {
+        // local union-find ground truth
+        val parent = scala.collection.mutable.Map[Int, Int]()
+        def find(x: Int): Int = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // min node id per root = expected component label
+        val byRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        val expected = nodes.map(n => f"n$n%02d" -> f"n${byRoot(find(n))}%02d").toMap
+        val edges = es.map { case (a, b) => (f"n$a%02d", f"n$b%02d") }
+          .toDF("src", "target")
+        val got = graft.operators.GraphOps.connectedComponents(edges).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+
   test("law: sort is total and stable on key ties") {
     forAll(Gen.listOf(Gen.choose(0, 3))) { ks =>
       whenever(ks.nonEmpty) {
