@@ -145,6 +145,16 @@ object TrainingQueries {
           shingleSize = 3, numHashes = 12, bands = 4)
         .select("doc_id").orderBy("doc_id")),
 
+    // cluster-size histogram over the transitive near-dup components —
+    // the dedup-audit view (how much of the corpus is duplicated, in what
+    // cluster sizes)
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.minhashClusters(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 12, bands = 4)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docs(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
@@ -323,6 +333,26 @@ object TrainingQueries {
           LEFT JOIN comp ON d.doc_id = comp.id
           WHERE comp.id IS NULL OR comp.component = d.doc_id
           ORDER BY doc_id""",
+
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashBucketCtes,
+          edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
+                    FROM bmin WHERE doc_id <> bucket_min),
+          sym AS (SELECT src AS a, target AS b FROM edges
+                  UNION SELECT target, src FROM edges),
+          nodes AS (SELECT DISTINCT a AS id FROM sym),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          labeled AS (SELECT d.doc_id,
+                        coalesce(comp.component, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+          sizes AS (SELECT cluster_id, count(*) AS sz FROM labeled
+                    GROUP BY cluster_id)
+          SELECT sz, count(*) AS n_clusters FROM sizes
+          GROUP BY sz ORDER BY sz""",
 
     "q_dedup_simhash" -> simhashSql(
       """SELECT doc_id FROM (

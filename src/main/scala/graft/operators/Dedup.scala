@@ -117,7 +117,23 @@ object Dedup {
    */
   def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                     maxIter: Int = 10): DataFrame = {
+                     maxIter: Int = 10): DataFrame =
+    minhashClusters(df, idCol, textCol, shingleSize, numHashes, bands, maxIter,
+        outCol = "__cluster__")
+      .filter(col("__cluster__") === col(idCol))
+      .drop("__cluster__")
+
+  /**
+   * Near-dup CLUSTER LABELS rather than survivors: every row gains
+   * `outCol` = the min doc id of its transitive LSH component (its own id
+   * for singletons). The label is what corpus analytics need — cluster
+   * size distributions, per-cluster quality election, dedup audits —
+   * where `minhashDedupCC` only answers "which rows survive".
+   */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                      maxIter: Int = 10, outCol: String = "cluster_id"): DataFrame = {
+    require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
     val banded = lshBands(df, idCol, textCol, shingleSize, numHashes, bands)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key"))
@@ -128,7 +144,7 @@ object Dedup {
     val comp = GraphOps.connectedComponents(edges, maxIter)
       .select(col("node_id").as(idCol), col("component"))
     df.join(comp, Seq(idCol), "left")
-      .filter(col("component").isNull || col("component") === col(idCol))
+      .withColumn(outCol, coalesce(col("component"), col(idCol)))
       .drop("component")
   }
 

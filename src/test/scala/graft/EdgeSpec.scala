@@ -8,6 +8,22 @@ import graft.core.{Sampling, XDF}
 class EdgeSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("connectedComponents on empty edges, minhashClusters all-singleton") {
+    import graft.operators.{Dedup, GraphOps}
+    val empty = Seq.empty[(String, String)].toDF("src", "target")
+    assert(GraphOps.connectedComponents(empty).count() == 0)
+    // distinct texts: every row is its own cluster and survives dedup
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
+      .toDF("doc_id", "text")
+    val clustered = Dedup.minhashClusters(docs, "doc_id", "text")
+    assert(clustered.filter(col("cluster_id") === col("doc_id")).count() == 3)
+    assert(Dedup.minhashDedupCC(docs, "doc_id", "text").count() == 3)
+    // output-column clash is rejected, not silently overwritten
+    intercept[IllegalArgumentException] {
+      Dedup.minhashClusters(docs, "doc_id", "text", outCol = "text")
+    }
+  }
+
   test("resolveTemplateCol tolerates $ and backslash in data") {
     val df = XDF(Seq(("$42.00", "price is {price}", "a\\b"))
       .toDF("price", "tpl", "other"))
