@@ -37,14 +37,14 @@ object TrainingQueries {
   /** Shared CTE chain for the MinHash LSH oracles (through per-bucket
     * min): double hashing mirroring Dedup.lshBands — one md5 per shingle,
     * h1/h2 = first/second 8 hex chars, lane i = (h1 + i*h2) mod 2^32. */
-  private val minhashBucketCtes: String = {
+  private def minhashBucketCtesFrom(srcTable: String): String = {
     val sigExprs = (0 until 12).map(i =>
       s"min((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n")
     val bandKeys = (0 until 4).map { b =>
       val parts = (0 until 3).map(r => s"mh${b * 3 + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS band_key FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $srcTable),
         sh AS (SELECT doc_id, ${shinglesSql(3)} AS shingles FROM t),
         lanes AS (SELECT doc_id,
                     ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
@@ -56,6 +56,22 @@ object TrainingQueries {
                    min(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
                  FROM banded)"""
   }
+
+  private val minhashBucketCtes: String = minhashBucketCtesFrom("documents")
+
+  /** Star edges + recursive reachability + min-label components over the
+    * LSH buckets — the transitive-closure tail shared by the CC oracles. */
+  private val ccCtes: String =
+    """edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
+                 FROM bmin WHERE doc_id <> bucket_min),
+       sym AS (SELECT src AS a, target AS b FROM edges
+               UNION SELECT target, src FROM edges),
+       nodes AS (SELECT DISTINCT a AS id FROM sym),
+       reach(id, r) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
 
   private val langs = TextOps.StopWords.keys.toSeq.sorted
 
@@ -154,6 +170,39 @@ object TrainingQueries {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")),
+
+    // keep-longest dedup: cluster labels + representative election by
+    // n_chars (ties -> min doc id) — "keep the best version" rather than
+    // "keep the first seen"
+    "q_dedup_elect" -> ((s, dir) =>
+      Dedup.electRepresentative(
+          Dedup.minhashClusters(docs(s, dir), "doc_id", "text",
+            shingleSize = 3, numHashes = 12, bands = 4),
+          "cluster_id", "n_chars", "doc_id")
+        .select("doc_id", "cluster_id", "n_chars").orderBy("cluster_id")),
+
+    // ===== end-to-end curation: the flagship training-data pipeline =====
+    // quality gate -> language gate -> transitive near-dup dedup electing
+    // the LONGEST representative -> per-source cap. Every stage is the
+    // library operator, the whole chain is one lazy plan, and the result
+    // is value-checked against the composed DuckDB oracle.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("pred_lang", TextOps.languageId(col("text")))
+        .filter(col("quality") >= 0.55 && col("pred_lang") === "en")
+        .drop("pred_lang")
+      val clustered = Dedup.minhashClusters(base, "doc_id", "text",
+        shingleSize = 3, numHashes = 12, bands = 4)
+      val elected = Dedup.electRepresentative(
+        clustered, "cluster_id", "n_chars", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      elected.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= 50)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docs(s, dir), "doc_id", "text")
@@ -319,16 +368,7 @@ object TrainingQueries {
     // replaces the one-hop bucket-min representative
     "q_dedup_minhash_cc" ->
       s"""WITH RECURSIVE $minhashBucketCtes,
-          edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
-                    FROM bmin WHERE doc_id <> bucket_min),
-          sym AS (SELECT src AS a, target AS b FROM edges
-                  UNION SELECT target, src FROM edges),
-          nodes AS (SELECT DISTINCT a AS id FROM sym),
-          reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
-          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          $ccCtes
           SELECT d.doc_id FROM documents d
           LEFT JOIN comp ON d.doc_id = comp.id
           WHERE comp.id IS NULL OR comp.component = d.doc_id
@@ -336,16 +376,7 @@ object TrainingQueries {
 
     "q_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $minhashBucketCtes,
-          edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
-                    FROM bmin WHERE doc_id <> bucket_min),
-          sym AS (SELECT src AS a, target AS b FROM edges
-                  UNION SELECT target, src FROM edges),
-          nodes AS (SELECT DISTINCT a AS id FROM sym),
-          reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
-          comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          $ccCtes,
           labeled AS (SELECT d.doc_id,
                         coalesce(comp.component, d.doc_id) AS cluster_id
                       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
@@ -353,6 +384,60 @@ object TrainingQueries {
                     GROUP BY cluster_id)
           SELECT sz, count(*) AS n_clusters FROM sizes
           GROUP BY sz ORDER BY sz""",
+
+    "q_dedup_elect" ->
+      s"""WITH RECURSIVE $minhashBucketCtes,
+          $ccCtes,
+          labeled AS (SELECT d.doc_id, d.n_chars,
+                        coalesce(comp.component, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+          ranked AS (SELECT doc_id, cluster_id, n_chars,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+                     FROM labeled)
+          SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+          ORDER BY cluster_id""",
+
+    "q_curation_pipeline" -> {
+      val allStops = TextOps.StopWords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE pq AS (
+            SELECT doc_id, text, source, n_chars, $toksSql AS toks
+            FROM documents),
+          pm AS (
+            SELECT doc_id, text, source, n_chars, toks,
+              round(least(length(text)::DOUBLE / 500, 1.0) * 0.25
+                + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.35
+                + least((len(list_filter(toks, x ->
+                    list_contains([$allStops], x)))::DOUBLE / len(toks)) * 5,
+                    1.0) * 0.2
+                + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(
+                    text, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
+                    / length(text)) * 4) * 0.2
+                + 1e-9, 6) AS quality,
+              list_min([${langs.map(langStructSql).mkString(", ")}]) AS best
+            FROM pq),
+          fdocs AS (
+            SELECT doc_id, text, source, n_chars, quality FROM pm
+            WHERE quality >= 0.55
+              AND (CASE WHEN best.neg = 0 THEN 'und' ELSE best.lang END) = 'en'),
+          ${minhashBucketCtesFrom("fdocs")},
+          $ccCtes,
+          labeled AS (SELECT f.doc_id, f.source, f.n_chars, f.quality,
+                        coalesce(comp.component, f.doc_id) AS cluster_id
+                      FROM fdocs f LEFT JOIN comp ON f.doc_id = comp.id),
+          elected AS (SELECT doc_id, source, quality FROM (
+                        SELECT doc_id, source, quality,
+                          row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+                        FROM labeled) WHERE rn = 1),
+          capped AS (SELECT doc_id, source, quality FROM (
+                       SELECT doc_id, source, quality,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY doc_id ASC) AS rn2
+                       FROM elected) WHERE rn2 <= 50)
+          SELECT doc_id, source, quality FROM capped ORDER BY doc_id"""
+    },
 
     "q_dedup_simhash" -> simhashSql(
       """SELECT doc_id FROM (

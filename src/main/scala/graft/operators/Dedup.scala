@@ -148,6 +148,23 @@ object Dedup {
       .drop("component")
   }
 
+  /**
+   * Representative election within clusters: keep the row with the
+   * highest `scoreCol` per `clusterCol` (ties -> lowest `idCol`).
+   * Composes with `minhashClusters` to implement keep-best-quality /
+   * keep-longest dedup instead of keep-min-id. One shuffle on the
+   * cluster key (window row_number, no global ordering).
+   */
+  def electRepresentative(clustered: DataFrame, clusterCol: String,
+                          scoreCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clustered.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__")
+  }
+
   /** SimHash-based near-dup: docs sharing an identical 16-bit simhash are
     * treated as duplicates; min doc id represents the cluster. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

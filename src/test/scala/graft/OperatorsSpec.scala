@@ -192,6 +192,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(cc.subsetOf(oneHop))
   }
 
+  test("electRepresentative keeps max score, min id on ties") {
+    val df = Seq((1L, 10L, 5), (2L, 10L, 9), (3L, 10L, 9), (4L, 40L, 1))
+      .toDF("id", "cluster", "score")
+    val out = Dedup.electRepresentative(df, "cluster", "score", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L)) // 2 beats 3 on id tie-break, 4 is singleton
+  }
+
   test("explodeMaps discovers output schema from data") {
     val df = Seq(("1", "a=1,b=2"), ("2", "c=9")).toDF("id", "kv")
     val out = graft.core.Reshape.explodeMaps(df, Seq("kv"),

@@ -32,6 +32,31 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("wide data: name algebra over a 1000-column table") {
+    // the reference's headline use case (README "100s or 1000s of
+    // columns"): regex select, prefix drop/rename, bulk inline transform
+    // must stay driver-side name algebra — one projection, no data pass
+    // per column
+    import graft.core.XDF
+    val n = 1000
+    val row = org.apache.spark.sql.Row.fromSeq((1 to n).map(i => i.toString))
+    val schema = org.apache.spark.sql.types.StructType(
+      (1 to n).map(i => org.apache.spark.sql.types.StructField(
+        if (i % 3 == 0) s"m:f$i" else s"f$i",
+        org.apache.spark.sql.types.StringType)))
+    val df = XDF(spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema))
+    assert(df.select("f1.*").getHeader.size ==
+      (1 to n).count(i => i % 3 != 0 && i.toString.startsWith("1")))
+    assert(df.dropColsWithPrefix("m").getHeader.size == n - n / 3)
+    val renamed = df.renamePrefix("m", "metric")
+    assert(renamed.getHeader.count(_.startsWith("metric:")) == n / 3)
+    // bulk inline transform across a regex family is a single projection
+    val t = df.transformInline(Seq("m:.*"), c => concat(c, lit("x")))
+    assert(t.toDF.head().getString(2) == "3x") // m:f3 is the 3rd column
+    assert(t.getHeader.size == n)
+  }
+
   test("map-join plans a broadcast hash join") {
     val big = (1 to 1000).map(i => (i % 10, i)).toDF("k", "v")
     val dim = (0 until 10).map(i => (i, s"d$i")).toDF("k", "d")
