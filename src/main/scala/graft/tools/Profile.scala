@@ -54,6 +54,17 @@ object Profile {
     time("q_graph_cc") {
       graft.SparkEntry.queries("q_graph_cc")(spark, sfDir).count()
     }
+    // scaling linearity: same pipeline on a 10x corpus (shifted copies, so
+    // every original doc gains 9 planted duplicates)
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ union _)
+    time("minhashDedup 10x corpus") {
+      Dedup.minhashDedup(docs10, "doc_id", "text", 3, 12, 4).count()
+    }
+    time("minhashDedupCC 10x corpus") {
+      Dedup.minhashDedupCC(docs10, "doc_id", "text", 3, 12, 4).count()
+    }
     spark.stop()
   }
 }
