@@ -60,6 +60,43 @@ object WsClient {
       s"fetch failed after $attempts attempts: $url ($last)", last)
   }
 
+  /**
+   * Distributed URL fan-out: append `<outCol>_status` / `<outCol>_body`
+   * by fetching `urlCol` ON THE EXECUTORS — the Spark-native shape of the
+   * reference's thread-pooled time-sliced search fan-out (reference:
+   * extensions/src/omigo_ext/splunk_ext.py:22-637 fans out one search job
+   * per time slice). Build a DF with one row per slice URL, fetch, then
+   * parse bodies with from_json/split. `mapPartitions` amortizes nothing
+   * here (HttpURLConnection is per-request) but keeps all requests of a
+   * partition on one task, so `repartition(n)` directly sets fan-out
+   * parallelism; failures surface as status -1 with the message in the
+   * body rather than failing the job (per-slice retry semantics).
+   */
+  def fetchUrls(df: DataFrame, urlCol: String, outCol: String = "resp",
+                headers: Map[String, String] = Map.empty,
+                timeoutMs: Int = 30000, attempts: Int = 3,
+                waitMs: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(s"${outCol}_status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(s"${outCol}_body",
+        org.apache.spark.sql.types.StringType)))
+    val urlIdx = df.schema.fieldIndex(urlCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val (status, body) =
+          try {
+            val r = fetch(row.getString(urlIdx), headers = headers,
+              timeoutMs = timeoutMs, attempts = attempts, waitMs = waitMs)
+            (r.status, r.body)
+          } catch { case t: Throwable => (-1, t.getMessage) }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(status, body))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Fetch a URL and parse the payload into a DF: "json" = JSON-lines /
     * single JSON array, "tsv"/"csv" = delimited with header row
     * (reference read_url_as_df payload dispatch, wsclient.py:150-264). */

@@ -128,6 +128,19 @@ class SurfaceSpec extends SparkTestBase {
       val t = WsClient.readUrlAsDf(spark, s"http://localhost:$port/data.tsv", "tsv")
       assert(t.count() == 2 && t.columns.toSeq == Seq("id", "name"))
       assert(t.orderBy("id").head().getString(1) == "x")
+
+      // distributed fan-out: one URL per slice, fetched on executors;
+      // a bad slice reports status instead of failing the job
+      val slices = Seq(
+        ("s1", s"http://localhost:$port/data.tsv"),
+        ("s2", s"http://localhost:$port/data.json"),
+        ("s3", s"http://localhost:$port/missing")).toDF("slice", "url")
+      val fetched = WsClient.fetchUrls(slices, "url")
+        .select("slice", "resp_status", "resp_body")
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(fetched("s1")._1 == 200 && fetched("s1")._2.startsWith("id\tname"))
+      assert(fetched("s2")._1 == 200)
+      assert(fetched("s3")._1 == 404)
     } finally server.stop(0)
   }
 }
