@@ -59,12 +59,10 @@ object TrainingQueries {
 
   private val minhashBucketCtes: String = minhashBucketCtesFrom("documents")
 
-  /** Star edges + recursive reachability + min-label components over the
-    * LSH buckets — the transitive-closure tail shared by the CC oracles. */
-  private val ccCtes: String =
-    """edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
-                 FROM bmin WHERE doc_id <> bucket_min),
-       sym AS (SELECT src AS a, target AS b FROM edges
+  /** Recursive reachability + min-label components over an `edges` CTE —
+    * the transitive-closure tail shared by every CC oracle. */
+  private val ccClosureCtes: String =
+    """sym AS (SELECT src AS a, target AS b FROM edges
                UNION SELECT target, src FROM edges),
        nodes AS (SELECT DISTINCT a AS id FROM sym),
        reach(id, r) AS (
@@ -72,6 +70,12 @@ object TrainingQueries {
          UNION
          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+  /** LSH bucket star edges + closure (assumes the `bmin` CTE). */
+  private val ccCtes: String =
+    s"""edges AS (SELECT DISTINCT doc_id AS src, bucket_min AS target
+                  FROM bmin WHERE doc_id <> bucket_min),
+        $ccClosureCtes"""
 
   private val langs = TextOps.StopWords.keys.toSeq.sorted
 
@@ -206,6 +210,12 @@ object TrainingQueries {
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docs(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    // hamming-tolerant simhash: bit-flip probes -> equi-join candidates
+    // -> connected components (docs within 1 bit merge transitively)
+    "q_dedup_simhash_hamming" -> ((s, dir) =>
+      Dedup.simhashDedupHamming(docs(s, dir), "doc_id", "text", maxHamming = 1)
         .select("doc_id").orderBy("doc_id")),
 
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -444,6 +454,20 @@ object TrainingQueries {
            SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS rep FROM d)
          WHERE doc_id = rep ORDER BY doc_id"""),
 
+    "q_dedup_simhash_hamming" -> {
+      val masks = (Seq(0) ++ (0 until 16).map(1 << _)).mkString(", ")
+      simhashSql(
+        select = """SELECT d.doc_id FROM d LEFT JOIN comp ON d.doc_id = comp.id
+                    WHERE comp.id IS NULL OR comp.component = d.doc_id
+                    ORDER BY doc_id""",
+        extraCtes = s"""probes AS (SELECT doc_id AS pid, xor(sh, m) AS p
+                          FROM d, unnest([$masks]) AS u(m)),
+                        edges AS (SELECT DISTINCT pid AS src, d.doc_id AS target
+                                  FROM probes JOIN d ON p = d.sh AND pid < d.doc_id),
+                        $ccClosureCtes""",
+        recursive = true)
+    },
+
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 20),
           sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS s FROM t)
@@ -505,7 +529,8 @@ object TrainingQueries {
 
   /** 16-bit simhash oracle mirroring TextOps.simhash16: CTE `d(doc_id, sh)`
     * then `select` over it. */
-  private def simhashSql(select: String): String = {
+  private def simhashSql(select: String, extraCtes: String = "",
+                         recursive: Boolean = false): String = {
     val bitExprs = (0 until 16).map { j =>
       val hexChar = j / 4 + 1
       val bitInChar = 3 - (j % 4)
@@ -514,8 +539,10 @@ object TrainingQueries {
                  >> $bitInChar & 1)) > len(toks)
           THEN ${1 << (15 - j)} ELSE 0 END"""
     }.mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
-        d AS (SELECT doc_id, $bitExprs AS sh FROM t)
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    val extra = if (extraCtes.nonEmpty) s",\n$extraCtes" else ""
+    s"""$kw t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+        d AS (SELECT doc_id, $bitExprs AS sh FROM t)$extra
         $select"""
   }
 }

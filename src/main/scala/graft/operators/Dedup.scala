@@ -175,6 +175,40 @@ object Dedup {
       .drop("__sh__", "__rep__")
 
   /**
+   * Hamming-tolerant SimHash dedup — the full algorithm: docs whose
+   * 16-bit simhashes differ in at most `maxHamming` bits merge into one
+   * component. Candidate pairs via bit-flip probing (each doc emits its
+   * hash xor every mask of weight <= maxHamming; a probe hitting another
+   * doc's exact hash is an edge), then connected components collapse the
+   * clusters transitively. Probe fan-out is 17 rows/doc at distance 1,
+   * 137 at distance 2 — constant per doc, and the candidate join is an
+   * equi-join on the probed hash, so no pair space ever materializes.
+   */
+  def simhashDedupHamming(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 1, maxIter: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2, "maxHamming must be 0..2")
+    val masks: Seq[Int] = Seq(0) ++
+      (if (maxHamming >= 1) (0 until 16).map(1 << _) else Nil) ++
+      (if (maxHamming >= 2)
+        for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1 << i) | (1 << j)
+      else Nil)
+    val base = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
+    val hashed = base.select(col(idCol), col("__sh__")).localCheckpoint()
+    val probes = hashed.select(col(idCol).as("__pid__"),
+      explode(array(masks.map(m => col("__sh__").bitwiseXOR(lit(m))): _*)).as("__p__"))
+    val idx = hashed.select(col(idCol).as("__tid__"), col("__sh__").as("__tsh__"))
+    val edges = probes.join(idx,
+        col("__p__") === col("__tsh__") && col("__pid__") < col("__tid__"))
+      .select(col("__pid__").as("src"), col("__tid__").as("target"))
+      .distinct()
+    val comp = GraphOps.connectedComponents(edges, maxIter)
+      .select(col("node_id").as(idCol), col("component"))
+    base.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("__sh__", "component")
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: given a pair DF
    * with two text columns, append the Jaccard of their shingle sets.
    */

@@ -200,6 +200,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Set(2L, 4L)) // 2 beats 3 on id tie-break, 4 is singleton
   }
 
+  test("simhashDedupHamming matches local union-find over true hamming pairs") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon zeta2", "one two three four five six",
+      "uno dos tres cuatro cinco seis", "seven eight nine ten eleven")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hashes = df.withColumn("sh", graft.functions.TextOps.simhash16(col("text")))
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ground truth: union-find over pairs with hamming distance <= 1
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for (a <- hashes.keys; b <- hashes.keys if a < b
+         if Integer.bitCount(hashes(a) ^ hashes(b)) <= 1) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = hashes.keys.filter(k => find(k) == k).toSet
+    val got = Dedup.simhashDedupHamming(df, "doc_id", "text", maxHamming = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(!got.contains(1L)) // exact duplicate always collapses
+  }
+
   test("explodeMaps discovers output schema from data") {
     val df = Seq(("1", "a=1,b=2"), ("2", "c=9")).toDF("id", "kv")
     val out = graft.core.Reshape.explodeMaps(df, Seq("kv"),
