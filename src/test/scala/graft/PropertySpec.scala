@@ -117,6 +117,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("law: simhashDedupHamming = union-find over true hamming pairs, k=0..2") {
+    var k = -1
+    forAll(Gen.listOfN(6, text)) { texts =>
+      whenever(texts.nonEmpty) {
+        k = (k + 1) % 3
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val hashes = df.withColumn("sh", TextOps.simhash16(col("text")))
+          .select("doc_id", "sh").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        for (a <- hashes.keys; b <- hashes.keys if a < b
+             if Integer.bitCount(hashes(a) ^ hashes(b)) <= k) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = hashes.keys.filter(x => find(x) == x).toSet
+        val got = graft.operators.Dedup
+          .simhashDedupHamming(df, "doc_id", "text", maxHamming = k)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got == expected, s"k=$k texts=$texts")
+      }
+    }
+  }
+
   test("law: sort is total and stable on key ties") {
     forAll(Gen.listOf(Gen.choose(0, 3))) { ks =>
       whenever(ks.nonEmpty) {
