@@ -237,6 +237,12 @@ object TrainingQueries {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    "q_dedup_embed_cc" -> ((s, dir) =>
+      Dedup.embeddingDedupCC(
+          embs(s, dir).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.25, signBits = 4)
+        .select("vec_id").orderBy("vec_id")),
+
     // ===== similarity search =====
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -485,6 +491,18 @@ object TrainingQueries {
           FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
           WHERE ${cosineSql("a.v", "b.v")} > 0.25
           ORDER BY id_a, id_b""",
+
+    "q_dedup_embed_cc" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     ${signBucketSql("embedding", 4)} AS bkt
+                   FROM embeddings WHERE vec_id % 10 = 0),
+          edges AS (SELECT a.vec_id AS src, b.vec_id AS target
+                    FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+                    WHERE ${cosineSql("a.v", "b.v")} > 0.25),
+          $ccClosureCtes
+          SELECT e.vec_id FROM e LEFT JOIN comp ON e.vec_id = comp.id
+          WHERE comp.id IS NULL OR comp.component = e.vec_id
+          ORDER BY vec_id""",
 
     "q_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

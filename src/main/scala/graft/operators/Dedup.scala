@@ -222,6 +222,25 @@ object Dedup {
     }
 
   /**
+   * Embedding near-dup dedup with transitive closure: connected
+   * components over the `embeddingNearDupPairs` edges, keeping the min
+   * id per component. Completes the dedup matrix — every near-dup
+   * signal (MinHash, SimHash, embedding cosine) has both a pair/cluster
+   * view and a closure-dedup view.
+   */
+  def embeddingDedupCC(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, signBits: Int = 8,
+                       maxIter: Int = 10): DataFrame = {
+    val edges = embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits)
+      .select(col("id_a").as("src"), col("id_b").as("target"))
+    val comp = GraphOps.connectedComponents(edges, maxIter)
+      .select(col("node_id").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
+  /**
    * Embedding near-dup: pairs of vectors with cosine similarity above
    * `threshold`. Candidate generation via sign-LSH buckets (see
    * Similarity.signBucket) keeps this off the O(n^2) path; `bruteForce`
