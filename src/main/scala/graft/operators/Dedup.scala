@@ -100,8 +100,10 @@ object Dedup {
           .partitionBy(col("band"), col("band_key"))))
       .groupBy(col(idCol))
       .agg(min(col("__bucket_min__")).as("__rep__"))
-    df.join(reps, Seq(idCol), "inner")
-      .filter(col(idCol) === col("__rep__"))
+    // left join: a row whose text yields no shingles (null/unshingleable)
+    // never reaches `banded` — it is its own singleton, not droppable
+    df.join(reps, Seq(idCol), "left")
+      .filter(col("__rep__").isNull || col(idCol) === col("__rep__"))
       .drop("__rep__")
   }
 
@@ -122,6 +124,18 @@ object Dedup {
         outCol = "__cluster__")
       .filter(col("__cluster__") === col(idCol))
       .drop("__cluster__")
+
+  /** Shared closure-dedup tail: components over `edges`, then keep rows
+    * whose component min equals their own id (rows absent from the graph
+    * are singletons and always kept). */
+  private def keepComponentMinima(df: DataFrame, idCol: String,
+                                  edges: DataFrame, maxIter: Int): DataFrame = {
+    val comp = GraphOps.connectedComponents(edges, maxIter)
+      .select(col("node_id").as(idCol), col("component"))
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
 
   /**
    * Near-dup CLUSTER LABELS rather than survivors: every row gains
@@ -201,11 +215,7 @@ object Dedup {
         col("__p__") === col("__tsh__") && col("__pid__") < col("__tid__"))
       .select(col("__pid__").as("src"), col("__tid__").as("target"))
       .distinct()
-    val comp = GraphOps.connectedComponents(edges, maxIter)
-      .select(col("node_id").as(idCol), col("component"))
-    base.join(comp, Seq(idCol), "left")
-      .filter(col("component").isNull || col("component") === col(idCol))
-      .drop("__sh__", "component")
+    keepComponentMinima(df, idCol, edges, maxIter)
   }
 
   /**
@@ -233,11 +243,7 @@ object Dedup {
                        maxIter: Int = 10): DataFrame = {
     val edges = embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits)
       .select(col("id_a").as("src"), col("id_b").as("target"))
-    val comp = GraphOps.connectedComponents(edges, maxIter)
-      .select(col("node_id").as(idCol), col("component"))
-    df.join(comp, Seq(idCol), "left")
-      .filter(col("component").isNull || col("component") === col(idCol))
-      .drop("component")
+    keepComponentMinima(df, idCol, edges, maxIter)
   }
 
   /**

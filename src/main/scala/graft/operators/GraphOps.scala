@@ -57,6 +57,7 @@ object GraphOps {
   def removeDanglingEdges(edges: DataFrame, retainIds: Seq[String],
                           maxIter: Int = 10): DataFrame = {
     var e = edges
+    var cached: DataFrame = null
     var prevCount = -1L
     var i = 0
     var done = false
@@ -71,6 +72,10 @@ object GraphOps {
       if (i + 1 < maxIter) {
         pruned.cache()
         val n = pruned.count()
+        // the superseded iteration's cache is dead weight once the new
+        // one is materialized — unpersist or maxIter-1 copies pin memory
+        if (cached != null) cached.unpersist()
+        cached = pruned
         if (n == prevCount) done = true
         prevCount = n
       }
@@ -210,7 +215,9 @@ object GraphOps {
         .unionByName(contrib.select(col("node_id"), col("n_paths")))
         .groupBy("node_id").agg(sum("n_paths").as("n_paths"))
         .localCheckpoint()
-      val total = next.agg(sum("n_paths")).head().getLong(0)
+      // sum over an empty frame is NULL, not 0 (empty roots input)
+      val total = Option(next.agg(sum("n_paths")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (total == prevTotal) done = true
       prevTotal = total
       paths = next

@@ -50,7 +50,8 @@ object WsClient {
         conn.disconnect()
         return Response(status, text)
       } catch {
-        case t: Throwable =>
+        // NonFatal: never retry on OOM / thread interrupts (task kills)
+        case scala.util.control.NonFatal(t) =>
           last = t
           attempt += 1
           if (attempt < attempts) Thread.sleep(waitMs)
@@ -90,7 +91,7 @@ object WsClient {
             val r = fetch(row.getString(urlIdx), headers = headers,
               timeoutMs = timeoutMs, attempts = attempts, waitMs = waitMs)
             (r.status, r.body)
-          } catch { case t: Throwable => (-1, t.getMessage) }
+          } catch { case scala.util.control.NonFatal(t) => (-1, t.getMessage) }
         org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(status, body))
       }
     }
@@ -118,8 +119,18 @@ object WsClient {
         // a single top-level array parses to one column "value"-less frame;
         // spark.read.json handles both shapes natively
         df
-      case "tsv" | "csv" =>
-        val sep = if (format == "tsv") "\t" else ","
+      case "csv" =>
+        // Spark's CSV reader for quote/escape handling ("Doe, Jane" must
+        // stay one field); all-string schema, "" for missing cells
+        import spark.implicits._
+        val lines = resp.body.linesIterator.toSeq
+        require(lines.nonEmpty, "empty payload")
+        spark.read.option("header", "true").option("inferSchema", "false")
+          .csv(spark.createDataset(lines)).na.fill("")
+      case "tsv" =>
+        // raw split by design: reference TSV cells are URL-encoded, so
+        // separators/quotes inside values are escaped, never quoted
+        val sep = "\t"
         val lines = resp.body.linesIterator.toSeq
         require(lines.nonEmpty, "empty payload")
         val header = lines.head.split(java.util.regex.Pattern.quote(sep), -1)

@@ -24,6 +24,25 @@ class EdgeSpec extends SparkTestBase {
     }
   }
 
+  test("minhashDedup keeps null-text rows as singletons (parity with CC)") {
+    import graft.operators.Dedup
+    val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), (3L, null))
+      .toDF("doc_id", "text")
+    val oneHop = Dedup.minhashDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup.minhashDedupCC(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneHop == Set(1L, 3L), s"null-text doc must survive, got $oneHop")
+    assert(cc == oneHop)
+  }
+
+  test("forwardPaths returns empty on empty roots instead of throwing") {
+    import graft.operators.GraphOps
+    val edges = Seq(("a", "b")).toDF("src", "target")
+    val roots = Seq.empty[String].toDF("node_id")
+    assert(GraphOps.forwardPaths(edges, roots).count() == 0)
+  }
+
   test("resolveTemplateCol tolerates $ and backslash in data") {
     val df = XDF(Seq(("$42.00", "price is {price}", "a\\b"))
       .toDF("price", "tpl", "other"))

@@ -120,6 +120,7 @@ class SurfaceSpec extends SparkTestBase {
     serve("/data.json", """{"id": 1, "name": "x"}
                           |{"id": 2, "name": "y"}""".stripMargin)
     serve("/data.tsv", "id\tname\n1\tx\n2\ty")
+    serve("/data.csv", "id,name\n1,\"Doe, Jane\"\n2,plain")
     server.start()
     try {
       val port = server.getAddress.getPort
@@ -128,6 +129,10 @@ class SurfaceSpec extends SparkTestBase {
       val t = WsClient.readUrlAsDf(spark, s"http://localhost:$port/data.tsv", "tsv")
       assert(t.count() == 2 && t.columns.toSeq == Seq("id", "name"))
       assert(t.orderBy("id").head().getString(1) == "x")
+
+      // quoted CSV field with an embedded separator stays one field
+      val c = WsClient.readUrlAsDf(spark, s"http://localhost:$port/data.csv", "csv")
+      assert(c.orderBy("id").head().getString(1) == "Doe, Jane")
 
       // distributed fan-out: one URL per slice, fetched on executors;
       // a bad slice reports status instead of failing the job
