@@ -387,16 +387,18 @@ object ParityQueries {
            ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
          ORDER BY e.event_id""",
 
+    // \x01-separated key material mirrors Sampling.portableKeyMaterial
     "q_sample_group_by_key" ->
       """SELECT o_orderkey, o_custkey FROM orders
-         WHERE substr(md5(o_custkey || '0'), 1, 2) < '40'
+         WHERE substr(md5(o_custkey::VARCHAR || chr(1) || '0'), 1, 2) < '40'
          ORDER BY o_orderkey""",
 
     "q_sample_class_cap" ->
       """SELECT o_orderkey, o_orderpriority FROM (
            SELECT o_orderkey, o_orderpriority,
                   row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY md5(o_orderkey || o_orderpriority || '0')) AS rn
+                    ORDER BY md5(o_orderkey::VARCHAR || chr(1) ||
+                                 o_orderpriority || chr(1) || '0')) AS rn
            FROM orders)
          WHERE rn <= 10 ORDER BY o_orderpriority, o_orderkey""",
 

@@ -52,7 +52,10 @@ object Sampling {
     * (dataframe.py:2984-3021). Hash-gated → deterministic. */
   def sampleClass(df: DataFrame, classCol: String, value: String,
                   ratio: Double, seed: Long, gateCols: Seq[String]): DataFrame =
-    df.filter(col(classCol).cast(StringType) =!= value ||
+    // explicit null escape: (null =!= v) is null, and (null || gate)
+    // would drop null-class rows at the gate rate instead of keeping them
+    df.filter(col(classCol).isNull ||
+      col(classCol).cast(StringType) =!= value ||
       hashGate(gateCols.map(col), seed, ratio))
 
   /** All-or-nothing group sampling by key hash (dataframe.py:3241-3276). */
@@ -81,17 +84,27 @@ object Sampling {
         when(col("__uniq__") <= maxUniq, lit(1.0))
           .otherwise(lit(maxUniq.toDouble) / col("__uniq__")))
       .drop("__uniq__")
-    df.join(broadcast(ratios), groupCols, "inner")
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__ratio__"): _*)
+    // null-safe join: a plain equi-join would drop null-keyed groups that
+    // the exact (window) variant keeps
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(ratios), cond, "inner")
       .filter(pmod(xxhash64(col(valCol), lit(seed)), lit(M)).cast(DoubleType) < col("__ratio__") * M)
-      .drop("__ratio__")
+      .drop(groupCols.map(c => s"__g_$c") :+ "__ratio__": _*)
   }
 
   /** Balance classes down to the minority class count
     * (dataframe.py:3299-3312). */
   def sampleClassByMinClassCount(df: DataFrame, classCol: String, seed: Long): DataFrame = {
     val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n__"))
-    val minN = counts.agg(min("__n__")).head().getLong(0)
-    sampleClassByMaxValues(df, classCol, minN.toInt, seed)
+    val row = counts.agg(min("__n__")).head()
+    if (row.isNullAt(0)) df // empty input: min is NULL, nothing to balance
+    else {
+      // clamp instead of toInt: a >2^31 minority count must mean "no cap",
+      // not a negative cap that drops every row
+      val minN = math.min(row.getLong(0), Int.MaxValue.toLong).toInt
+      sampleClassByMaxValues(df, classCol, minN, seed)
+    }
   }
 
   /** Cap each class at n rows (dataframe.py:3314-3325). */
@@ -131,10 +144,17 @@ object Sampling {
   // any engine with md5 — used by the DuckDB-differential gate, and by
   // users who need sampling decisions stable across systems.
 
+  /** Unit-separator-delimited, null-sentineled key material: distinct key tuples
+    * must hash differently — a bare concat would collide ("ab","c") with
+    * ("a","bc") and correlate their sampling decisions. */
+  private def portableKeyMaterial(keys: Seq[Column], seedStr: String): Column =
+    concat_ws("\u0001",
+      keys.map(k => coalesce(k.cast(StringType), lit("\u0000"))) :+ lit(seedStr): _*)
+
   /** Keep rows whose md5(key material) hex prefix is below `hexThreshold`
     * (e.g. "40" keeps ~25%). */
   def portableGate(keys: Seq[Column], seedStr: String, hexThreshold: String): Column =
-    substring(md5(concat_ws("", keys :+ lit(seedStr): _*)),
+    substring(md5(portableKeyMaterial(keys, seedStr)),
       1, hexThreshold.length) < hexThreshold
 
   /** All-or-nothing group sampling, portable gate. */
@@ -146,8 +166,7 @@ object Sampling {
   def sampleClassByMaxValuesPortable(df: DataFrame, classCol: String, n: Int,
                                      seedStr: String = "0"): DataFrame = {
     val w = Window.partitionBy(col(classCol))
-      .orderBy(md5(concat_ws("",
-        df.columns.map(c => col(c).cast(StringType)) :+ lit(seedStr): _*)))
+      .orderBy(md5(portableKeyMaterial(df.columns.map(col).toSeq, seedStr)))
     df.withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") <= n).drop("__rn__")
   }

@@ -61,9 +61,16 @@ object WindowOps {
     * explode(sequence) fan-out, then one aggregation. */
   def slidingWindowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
                              aggFuncs: Seq[String], winSize: Int): DataFrame = {
-    val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()
+    // null winCol rows are excluded up front: a null would take an ordinal
+    // in distinctVals but never match the equi-join, silently losing rows
+    // AND misaligning every window after it. localCheckpoint: the frame is
+    // consumed twice (count + join) — without it the distinct + global
+    // row_number shuffle executes twice.
+    val distinctVals = df.filter(col(winCol).isNotNull)
+      .select(col(winCol).cast(StringType).as(winCol)).distinct()
       .withColumn("__ord__",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))) - 1)
+      .localCheckpoint()
     // only COMPLETE windows exist (reference dataframe.py:676-678 assigns
     // win_index only while num_values - win_index >= winsize): valid
     // window starts are 0 .. n-winSize
@@ -87,7 +94,9 @@ object WindowOps {
 
   def windowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
                       aggFuncs: Seq[String], winSize: Int): DataFrame = {
-    val distinctVals = df.select(col(winCol).cast(StringType).as(winCol)).distinct()
+    // null winCol rows excluded for the same reason as the sliding variant
+    val distinctVals = df.filter(col(winCol).isNotNull)
+      .select(col(winCol).cast(StringType).as(winCol)).distinct()
       .withColumn("__ord__",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))))
       .withColumn("__win__", floor((col("__ord__") - 1) / winSize))

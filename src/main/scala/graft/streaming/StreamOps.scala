@@ -55,8 +55,12 @@ object StreamOps {
    */
   def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
                      keyCols: Seq[String]): DataFrame =
+    // dropDuplicatesWithinWatermark dedups on the KEYS alone while still
+    // evicting state past the watermark; the older dropDuplicates(keys :+
+    // ts) idiom dedups (key, ts) pairs — a re-occurrence with a new
+    // timestamp would NOT be suppressed
     stream.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double) {
     def tsMillis: Long = ts.getTime
@@ -99,6 +103,12 @@ object StreamOps {
             val closed = scala.collection.mutable.ArrayBuffer[Session]()
             sorted.foreach { e =>
               cur match {
+                case Some(s) if e.tsMillis < s.start - gapMillis =>
+                  // out-of-order event older than the session's reach:
+                  // merging would span a quiet hole larger than the gap.
+                  // Emit it as its own (past) session — it cannot be
+                  // extended by anything newer in this sorted batch.
+                  closed += Session(key, e.tsMillis, e.tsMillis, 1, e.value)
                 case Some(s) if e.tsMillis - s.end <= gapMillis =>
                   // late events extend bounds monotonically - never
                   // rewind `end` (that would split future sessions and

@@ -80,6 +80,23 @@ class SurfaceSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 3.0), ("a", 10.0), ("b", 5.0)))
   }
 
+  test("streamingDedup suppresses key re-occurrence at a NEW timestamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
+      """{"ts": "2024-01-01T00:00:00", "k": "a", "v": 1.0}
+        |{"ts": "2024-01-01T00:01:00", "k": "a", "v": 2.0}
+        |{"ts": "2024-01-01T00:02:00", "k": "b", "v": 3.0}
+        |""".stripMargin)
+    val stream = StreamOps.readJsonStream(spark, dir,
+      "ts TIMESTAMP, k STRING, v DOUBLE")
+    val deduped = StreamOps.streamingDedup(stream, "ts", "1 hour", Seq("k"))
+    StreamOps.runToMemory(deduped, "dedup_test")
+    val out = spark.sql("SELECT k, v FROM dedup_test ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // key-only dedup: a's second event (different ts) must be suppressed
+    assert(out.toSeq == Seq(("a", 1.0), ("b", 3.0)))
+  }
+
   test("flatMapGroupsWithState sessionization over a file stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
     // key a: burst at 00:00-00:02, quiet, burst at 01:00; gap 10min
