@@ -215,11 +215,13 @@ case class XDF(df: DataFrame) {
   def valuesIn(c: String, vs: Seq[Any]): XDF = where(allMatched(Seq(c), _.isin(vs: _*)))
   def valuesNotIn(c: String, vs: Seq[Any]): XDF = where(allMatched(Seq(c), !_.isin(vs: _*)))
 
-  // regex — Python re.match anchors at start (dataframe.py:256-270)
+  // regex — Python re.match anchors at start (dataframe.py:256-270).
+  // The pattern goes in a non-capturing group: a bare "^" + "foo|bar"
+  // would leave the second alternative unanchored.
   def regexMatch(c: String, pat: String): XDF =
-    where(allMatched(Seq(c), _.cast(StringType).rlike("^" + pat)))
+    where(allMatched(Seq(c), _.cast(StringType).rlike(s"^(?:$pat)")))
   def notRegexMatch(c: String, pat: String): XDF =
-    where(allMatched(Seq(c), !_.cast(StringType).rlike("^" + pat)))
+    where(allMatched(Seq(c), !_.cast(StringType).rlike(s"^(?:$pat)")))
 
   // affix (dataframe.py:386-400)
   def startswith(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType).startsWith(v)))
@@ -257,7 +259,11 @@ case class XDF(df: DataFrame) {
   /** Fixed-point formatting (dataframe.py:452-454). format_string, not
     * format_number — the latter inserts thousands separators. */
   def applyPrecision(c: String, p: Int): XDF =
-    transformInline(Seq(c), x => format_string(s"%.${p}f", x.cast(DoubleType)))
+    // null/"" guard: Formatter renders a null arg as the STRING "null",
+    // and ''.cast(double) throws under ANSI — both stay "" instead
+    transformInline(Seq(c), x =>
+      when(x.isNull || x.cast(StringType) === "", lit(""))
+        .otherwise(format_string(s"%.${p}f", x.cast(DoubleType))))
 
   def toInt(cols: String*): XDF = transformInline(cols, _.cast(DoubleType).cast(LongType))
   def toNumeric(cols: String*): XDF = transformInline(cols, _.cast(DoubleType))
@@ -468,10 +474,15 @@ case class XDF(df: DataFrame) {
     // overwritten by the rkey-copy mechanism below — suffix it too
     val clash = lNonKey.toSet.intersect(rNonKey.toSet) ++
       rNonKey.toSet.intersect(lkeys.toSet)
-    if (clash.nonEmpty)
+    // a LEFT non-key named like a differently-named RIGHT KEY collides
+    // with that key's copy column after the join — suffix the left one
+    val divergentRkeys = rkeys.zip(lkeys)
+      .collect { case (rk, lk) if rk != lk => rk }.toSet
+    val clashL = lNonKey.toSet.intersect(divergentRkeys)
+    if ((clash ++ clashL).nonEmpty)
       require(lsuffix.nonEmpty && rsuffix.nonEmpty,
-        s"clashing columns $clash need lsuffix/rsuffix")
-    val l = clash.intersect(lNonKey.toSet).foldLeft(df)((d, c) =>
+        s"clashing columns ${clash ++ clashL} need lsuffix/rsuffix")
+    val l = (clash.intersect(lNonKey.toSet) ++ clashL).foldLeft(df)((d, c) =>
       d.withColumnRenamed(c, ColumnResolver.withSuffix(c, lsuffix)))
     // Rename right keys to the left names and join `using` them (single,
     // coalesced key col in the output); differently-named right keys are
@@ -500,7 +511,8 @@ case class XDF(df: DataFrame) {
       if (clash.contains(c)) ColumnResolver.withSuffix(c, rsuffix) else c) ++
       rkeys.zip(lkeys).collect { case (rk, lk) if rk != lk => rk }
     val lOutCols = lNonKey.map(c =>
-      if (clash.contains(c)) ColumnResolver.withSuffix(c, lsuffix) else c)
+      if (clash.contains(c) || clashL.contains(c))
+        ColumnResolver.withSuffix(c, lsuffix) else c)
     val fillTargets: Seq[String] = joinType match {
       case "left" => rOutCols
       case "right" => lOutCols
@@ -701,9 +713,11 @@ case class XDF(df: DataFrame) {
   def toJsonRecords(newCol: String = "json"): XDF =
     XDF(df.select(to_json(struct(header.map(col): _*)).as(newCol)))
 
-  /** DF -> CSV text lines (dataframe.py:2245-2251). */
+  /** DF -> CSV text lines (dataframe.py:2245-2251). Null cells render as
+    * "" — concat_ws SKIPS nulls, which would shift every later column. */
   def toCsvText(): XDF =
-    XDF(df.select(concat_ws(",", header.map(c => col(c).cast(StringType)): _*).as("csv")))
+    XDF(df.select(concat_ws(",",
+      header.map(c => coalesce(col(c).cast(StringType), lit(""))): _*).as("csv")))
 
   /** Collect as tuples of strings (dataframe.py:4847-4876). */
   def toTuples(): Seq[Seq[String]] =

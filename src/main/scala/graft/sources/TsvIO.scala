@@ -29,8 +29,9 @@ object TsvIO {
         // all strings; the engine's surface is string-typed
         .option("inferSchema", "false")
         .csv(p)
-      raw.select(raw.columns.map(c =>
-        url_decode(regexp_replace(col(c), "\\+", "%20")).as(c)): _*)
+      // url_decode is form-decoding (URLDecoder): '+' already maps to
+      // space, no pre-pass needed
+      raw.select(raw.columns.map(c => url_decode(col(c)).as(c)): _*)
     }
     dfs.map(XDF(_)).reduceLeft((a, b) => a.mergeUnion(Seq(b))).toDF
   }
@@ -40,8 +41,8 @@ object TsvIO {
   /** Write TSV with URL-encoded cells (reference hydra.py:7-27; cells
     * encoded via quote_plus — space becomes '+'). */
   def write(df: DataFrame, path: String, sep: String = "\t"): Unit =
-    df.select(df.columns.map(c =>
-        regexp_replace(url_encode(col(c).cast(StringType)), "%20", "+").as(c)): _*)
+    // url_encode is form-encoding (URLEncoder): space already becomes '+'
+    df.select(df.columns.map(c => url_encode(col(c).cast(StringType)).as(c)): _*)
       .write.mode("overwrite")
       .option("sep", sep).option("header", "true")
       .csv(path)
@@ -81,13 +82,15 @@ object TsvIO {
     // header along so mismatched entry schemas fail loudly
     val tagged = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
       val zis = new java.util.zip.ZipInputStream(pds.open())
-      Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory)
-        .flatMap { _ =>
-          val ls = new String(zis.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
-          if (ls.isEmpty) Seq.empty else ls.tail.map(l => (ls.head, l))
-        }.toSeq
+      try {
+        Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .flatMap { _ =>
+            val ls = new String(zis.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+            if (ls.isEmpty) Seq.empty else ls.tail.map(l => (ls.head, l))
+          }.toSeq
+      } finally zis.close() // fd leak otherwise: one per zip until GC
     }
     val spark2 = spark
     import spark2.implicits._
@@ -96,10 +99,12 @@ object TsvIO {
     require(headers.length == 1,
       s"zip entries carry differing headers: ${headers.take(3).mkString(" | ")}")
     val header = headers.head.split(java.util.regex.Pattern.quote(sep), -1)
+    // try_element_at: a ragged/blank line must yield null cells, not an
+    // ANSI out-of-bounds error that kills the whole read
     ds.select((0 until header.length).map(i =>
-      url_decode(regexp_replace(
-        element_at(split(col("value"), java.util.regex.Pattern.quote(sep), -1), i + 1),
-        "\\+", "%20")).as(header(i))): _*)
+      url_decode(try_element_at(
+        split(col("value"), java.util.regex.Pattern.quote(sep), -1),
+        lit(i + 1))).as(header(i))): _*)
   }
 
   /**
@@ -117,8 +122,9 @@ object TsvIO {
     val df = format match {
       case "parquet" => spark.read.parquet(basePath)
       case "tsv" =>
+        // same per-cell decode as read(): cells on disk are URL-encoded
         val raw = spark.read.option("sep", "\t").option("header", "true").csv(basePath)
-        raw
+        raw.select(raw.columns.map(c => url_decode(col(c)).as(c)): _*)
       case f => throw new IllegalArgumentException(s"unknown format $f")
     }
     df.filter(col("dt") >= startDate && col("dt") <= endDate)

@@ -108,6 +108,26 @@ class CoreSpec extends SparkTestBase {
     assert(m("2") == ((null, null)))
   }
 
+  test("join: left non-key clashing with a differently-named right KEY") {
+    // left's non-key "k2" collides with the rkey copy column — it must be
+    // suffixed, not silently duplicated into an ambiguous output
+    val l = XDF(Seq(("1", "a"), ("2", "b")).toDF("id", "k2"))
+    val r = XDF(Seq(("1", "y1")).toDF("k2", "v"))
+    val out = l.leftJoin(r, Seq("id"), Seq("k2"), lsuffix = "l", rsuffix = "r").toDF
+    assert(out.columns.toSet == Set("id", "k2:l", "v", "k2"))
+    assert(out.columns.count(_ == "k2") == 1)
+    val m = out.collect().map(x => x.getAs[String]("id") ->
+      (x.getAs[String]("k2:l"), x.getAs[String]("k2"))).toMap
+    assert(m("1") == (("a", "1")) && m("2") == (("b", null)))
+  }
+
+  test("regexMatch anchors the WHOLE pattern including alternations") {
+    val df = XDF(Seq(("foo1"), ("xxbar"), ("bar2")).toDF("s"))
+    val out = df.regexMatch("s", "foo|bar").toDF
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("foo1", "bar2"), "xxbar must not match ^(foo|bar)")
+  }
+
   test("mergeUnion schema evolution with defaults") {
     val a = XDF(Seq(("1", "a")).toDF("id", "x"))
     val b = XDF(Seq(("2", "b")).toDF("id", "y"))
