@@ -42,9 +42,10 @@ object TimeFuncs {
   def datetimeToUtcTimestampSec(c: Column): Column =
     unix_timestamp(parseLenient(c))
 
-  /** datetime string -> UTC epoch millis. */
+  /** datetime string -> UTC epoch millis. unix_millis is exact — the
+    * double round-trip lost sub-ms bits (off-by-one-ms results). */
   def datetimeToUtcTimestampMillis(c: Column): Column =
-    (parseLenient(c).cast(DoubleType) * 1000).cast(LongType)
+    unix_millis(parseLenient(c))
 
   /** epoch seconds -> ISO datetime string (timefuncs.py:97-110). */
   def utcTimestampToDatetimeStr(c: Column): Column =

@@ -24,6 +24,9 @@ object AsofJoin {
                        keyCols: Seq[String], leftTs: String, rightTs: String,
                        rightValueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collide = rightValueCols.intersect(leftCols)
+    require(collide.isEmpty,
+      s"rightValueCols $collide already exist on the left side — rename first")
     // normalize: shared key names, one __ts__ column, right side = 0 so
     // it precedes left rows at an identical timestamp
     val l = left
@@ -32,9 +35,14 @@ object AsofJoin {
     // right must already use the key names; (key, ts) pairs should be
     // unique for a deterministic pick (pre-aggregate otherwise — the
     // standard merge_asof contract)
+    // values ride in a single-field struct: the struct is non-null for
+    // every right row even when the VALUE is null, so last(ignoreNulls)
+    // skips only the left-side placeholders — a right row with a null
+    // value correctly supersedes an earlier non-null one (merge_asof
+    // attaches the most recent ROW, not the most recent non-null value)
     val r = right.select(
       (keyCols.map(col) :+ col(rightTs).as("__ts__") :+ lit(0).as("__side__")) ++
-        rightValueCols.map(c => col(c).as(s"__rv_$c")): _*)
+        rightValueCols.map(c => struct(col(c).as("v")).as(s"__rv_$c")): _*)
     val lAligned = l.select(
       (leftCols.map(col) :+ col("__ts__") :+ col("__side__")) ++
         rightValueCols.map(c => lit(null).cast(r.schema(s"__rv_$c").dataType).as(s"__rv_$c")): _*)
@@ -46,7 +54,8 @@ object AsofJoin {
       .orderBy(col("__ts__"), col("__side__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightValueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
+      d.withColumn(c,
+        last(col(s"__rv_$c"), ignoreNulls = true).over(w).getField("v")))
     carried.filter(col("__side__") === 1)
       .select((leftCols ++ rightValueCols).map(col): _*)
   }

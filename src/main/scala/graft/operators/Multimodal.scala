@@ -24,9 +24,6 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  case class MediaFeatures(id: Long, byte_len: Int, first_byte: Int,
-                           content_md5: String, features: Array[Double])
-
   /** STUB decoder: deterministic pseudo-features from raw bytes — stands
     * in for image decode + embed. Replace the body with a real codec
     * (??? in production builds) without touching the pipeline shape. */
@@ -62,9 +59,16 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val digest = md.digest(bytes).map("%02x".format(_)).mkString
-        Row(id, bytes.length, bytes.headOption.map(_ & 0xff).getOrElse(0): Int,
-          digest, fakeDecodeFeatures(bytes))
+        if (bytes == null)
+          // corrupt/missing payload: null feature fields, never an NPE
+          // that kills the whole task (one bad media row is routine at
+          // corpus scale)
+          Row(id, null, null, null, null)
+        else {
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          Row(id, bytes.length, bytes.headOption.map(_ & 0xff).getOrElse(0): Int,
+            digest, fakeDecodeFeatures(bytes))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -22,7 +22,7 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       exprs: Map[String, (Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__salt__",
-      pmod(xxhash64(rand(0) * saltBuckets), lit(saltBuckets.toLong)))
+      (rand(0) * saltBuckets).cast("int")) // uniform draw, same as saltedJoin
     val partialAggs = exprs.toSeq.map { case (n, (p, _)) => p.as(s"__p_$n") }
     val partial = salted.groupBy((keys.map(col) :+ col("__salt__")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -46,6 +46,11 @@ object Skew {
    */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full would emit every unmatched right row once PER SALT —
+    // the replication scheme only preserves left-side multiplicity
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType),
+      s"saltedJoin supports left-preserving join types only, got '$joinType'")
     val l = left.withColumn("__salt__",
       (rand(0) * saltBuckets).cast("int"))
     val r = right.withColumn("__salt__",

@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SqlHelper {
 
-  /** Build the SELECT string (reference sql_helper.py:58-87: positional
-    * GROUP BY, optional HAVING/ORDER/LIMIT). */
+  /** Build the SELECT string (reference sql_helper.py:58-87 — it emits
+    * positional GROUP BY 1..N, which silently groups by the WRONG columns
+    * unless the grouping columns happen to lead the select list; here the
+    * caller's column names are emitted as given). */
   def buildQuery(columns: Seq[String], table: String,
                  where: String = null, groupBy: Seq[String] = Nil,
                  having: String = null, orderBy: Seq[String] = Nil,
@@ -20,7 +22,7 @@ object SqlHelper {
     val sb = new StringBuilder(s"SELECT ${columns.mkString(", ")} FROM $table")
     if (where != null) sb.append(s" WHERE $where")
     if (groupBy.nonEmpty)
-      sb.append(s" GROUP BY ${groupBy.indices.map(_ + 1).mkString(", ")}")
+      sb.append(s" GROUP BY ${groupBy.mkString(", ")}")
     if (having != null) sb.append(s" HAVING $having")
     if (orderBy.nonEmpty) sb.append(s" ORDER BY ${orderBy.mkString(", ")}")
     if (limit >= 0) sb.append(s" LIMIT $limit")

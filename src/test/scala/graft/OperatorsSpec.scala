@@ -300,6 +300,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(GraphOps.removeDanglingEdges(edges, Seq("d"), maxIter = 10).count() == 3)
   }
 
+  test("asof join attaches the most recent right ROW even when its value is null") {
+    val left = Seq(("k", 30L, "e")).toDF("key", "ts", "ev")
+    val right = Seq(("k", 10L, "r10"), ("k", 20L, null))
+      .toDF("key", "rts", "rv")
+    val out = graft.operators.AsofJoin.asofJoinBackward(
+        left, right, Seq("key"), "ts", "rts", Seq("rv")).head()
+    // merge_asof semantics: the t=20 row (null value) supersedes r10
+    assert(out.getAs[String]("rv") == null)
+  }
+
+  test("multimodal extraction survives a null payload row") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .union(Seq((2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
+    val out = graft.operators.Multimodal.extractFeatures(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
   test("asof join backward picks most recent right row, equal ts matches") {
     val left = Seq(("k", 10L, "e1"), ("k", 20L, "e2"), ("k", 5L, "e0"),
       ("x", 10L, "e3")).toDF("key", "ts", "ev")

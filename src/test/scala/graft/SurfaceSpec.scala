@@ -52,7 +52,7 @@ class SurfaceSpec extends SparkTestBase {
       Seq("k", "count(*) AS n"), "t", where = "v > 0",
       groupBy = Seq("k"), having = "count(*) > 1", orderBy = Seq("n DESC"),
       limit = 5)
-    assert(sql == "SELECT k, count(*) AS n FROM t WHERE v > 0 GROUP BY 1 " +
+    assert(sql == "SELECT k, count(*) AS n FROM t WHERE v > 0 GROUP BY k " +
       "HAVING count(*) > 1 ORDER BY n DESC LIMIT 5")
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val out = SqlHelper.executeQuery(spark, Map("t" -> df), sql).collect()
