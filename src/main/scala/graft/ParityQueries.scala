@@ -58,7 +58,13 @@ object ParityQueries {
           col("l_linenumber").as("ln"),
           col("l_quantity").as("qty")))).as("items"))
         .select(col("l_orderkey"), to_json(struct(col("items"))).as("payload"))
-      JsonFlattener.explodeJson(items, "payload", "j")
+      // schema-first: the payload shape is known here, and passing it
+      // skips inference — which would re-execute the full groupBy above
+      // (measured ~2x on this query)
+      val payloadSchema = StructType(Seq(StructField("items", ArrayType(
+        StructType(Seq(StructField("ln", LongType),
+          StructField("qty", DoubleType)))))))
+      JsonFlattener.explodeJson(items, "payload", "j", schema = payloadSchema)
         .withColumn("j:items:qty", col("j:items:qty").cast(DoubleType))
         .orderBy(col("l_orderkey"), col("j:items:__explode_json_index__"))
     }),
@@ -126,8 +132,8 @@ object ParityQueries {
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))))
       val edges = rn.filter(col("rn") % 4 =!= 0)
-        .select(lpad(col("rn").cast(StringType), 6, "0").as("src"),
-          lpad((col("rn") + 1).cast(StringType), 6, "0").as("target"))
+        .select(lpad(col("rn").cast(StringType), 10, "0").as("src"),
+          lpad((col("rn") + 1).cast(StringType), 10, "0").as("target"))
       GraphOps.connectedComponents(edges).orderBy("node_id")
     }),
 
@@ -253,7 +259,8 @@ object ParityQueries {
       XDF(t(s, dir, "region").orderBy("r_regionkey"))
         .toJsonRecords("json").toDF),
 
-    // ===== multimodal plumbing: binary decode stub =====
+    // ===== multimodal plumbing: non-image payloads take the byte-level
+    // fallback (utf-8 text is not a decodable image) =====
     "q_multimodal_features" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -261,6 +268,34 @@ object ParityQueries {
       (0 until Multimodal.FeatureDim).foldLeft(feats) { (d, j) =>
         d.withColumn(s"f$j", round(element_at(col("features"), j + 1), 6))
       }.drop("features").orderBy("id")
+    }),
+
+    // ===== multimodal REAL decode: planted solid-color PNGs, decoded by
+    // javax.imageio on executors; expected luminance is closed-form from
+    // the id, so DuckDB can oracle the decode itself. lum*765 = r+g+b
+    // exactly (featureround error ~4e-4 << 0.5), dodging float-rounding
+    // ties between engines. =====
+    "q_multimodal_decode" -> ((s, dir) => {
+      val mkPng = udf { id: Long =>
+        val rgb = (((id * 7) % 256).toInt << 16) |
+          (((id * 11) % 256).toInt << 8) | ((id * 13) % 256).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }
+      val media = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("doc_id"),
+          mkPng(col("n_nationkey").cast(LongType)).as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "payload")
+        .select(col("id"), col("width"), col("height"),
+          round(element_at(col("features"), 1) * 765).cast(LongType).as("lum_first"),
+          round(element_at(col("features"), Multimodal.FeatureDim) * 765)
+            .cast(LongType).as("lum_last"))
+        .orderBy("id")
     }),
   )
 
@@ -340,8 +375,8 @@ object ParityQueries {
       """WITH RECURSIVE rn AS (
            SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
          edges AS (
-           SELECT lpad(rn::VARCHAR, 6, '0') AS src,
-                  lpad((rn + 1)::VARCHAR, 6, '0') AS target
+           SELECT lpad(rn::VARCHAR, 10, '0') AS src,
+                  lpad((rn + 1)::VARCHAR, 10, '0') AS target
            FROM rn WHERE rn % 4 <> 0),
          sym AS (SELECT src AS a, target AS b FROM edges
                  UNION SELECT target, src FROM edges),
@@ -387,18 +422,20 @@ object ParityQueries {
            ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
          ORDER BY e.event_id""",
 
-    // \x01-separated key material mirrors Sampling.portableKeyMaterial
+    // \x01-separated, \x00-null-sentineled key material mirrors
+    // Sampling.portableKeyMaterial (coalesce keeps DuckDB's NULL-poisoning
+    // concat from diverging on nullable keys)
     "q_sample_group_by_key" ->
       """SELECT o_orderkey, o_custkey FROM orders
-         WHERE substr(md5(o_custkey::VARCHAR || chr(1) || '0'), 1, 2) < '40'
+         WHERE substr(md5(coalesce(o_custkey::VARCHAR, chr(0)) || chr(1) || '0'), 1, 2) < '40'
          ORDER BY o_orderkey""",
 
     "q_sample_class_cap" ->
       """SELECT o_orderkey, o_orderpriority FROM (
            SELECT o_orderkey, o_orderpriority,
                   row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY md5(o_orderkey::VARCHAR || chr(1) ||
-                                 o_orderpriority || chr(1) || '0')) AS rn
+                    ORDER BY md5(coalesce(o_orderkey::VARCHAR, chr(0)) || chr(1) ||
+                                 coalesce(o_orderpriority, chr(0)) || chr(1) || '0')) AS rn
            FROM orders)
          WHERE rn <= 10 ORDER BY o_orderpriority, o_orderkey""",
 
@@ -458,8 +495,17 @@ object ParityQueries {
       s"""SELECT doc_id AS id, strlen(text)::INT AS byte_len,
                  ascii(substr(text, 1, 1)) AS first_byte,
                  md5(text) AS content_md5,
+                 NULL::INTEGER AS width, NULL::INTEGER AS height,
                  $fCols
           FROM documents ORDER BY id"""
     },
+
+    "q_multimodal_decode" ->
+      """SELECT n_nationkey::BIGINT AS id, 8::INTEGER AS width, 8::INTEGER AS height,
+                ((n_nationkey * 7) % 256 + (n_nationkey * 11) % 256
+                 + (n_nationkey * 13) % 256)::BIGINT AS lum_first,
+                ((n_nationkey * 7) % 256 + (n_nationkey * 11) % 256
+                 + (n_nationkey * 13) % 256)::BIGINT AS lum_last
+         FROM nation ORDER BY id""",
   )
 }

@@ -30,10 +30,12 @@ object SparkEntry {
     queries("q_agg_basic")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries
+    coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries ++
+      Round2Queries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql
+    coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql ++
+      Round2Queries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -56,17 +56,26 @@ object JsonFlattener {
                   maxResults: Int = -1,
                   transposeColGroups: Seq[String] = Nil,
                   schema: StructType = null): DataFrame = {
-    val sch = if (schema != null) schema
+    // When inferring, persist the input first: inference is an ACTION on
+    // the upstream plan, and without the persist a computed input (e.g. a
+    // full aggregation) executes twice — once for inference, once for the
+    // flatten itself (measured 2x on q_explode_json_array). The cache
+    // populates during inference and the flatten reuses it. At corpus
+    // scale pass `schema=` instead — schema-first is the contract there
+    // (the persist trades memory for the double execution, and a bounded
+    // sample can miss late-appearing keys regardless).
+    val (input, sch) = if (schema != null) (df, schema)
     else {
       Log.warnOnce("explode_json: schema inferred from a bounded sample; " +
         "keys first appearing beyond it will be absent — pass schema= or " +
         "inferSchema(sampleRows = 0) for heterogeneous payloads")
-      inferSchema(df, jsonCol)
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cached, inferSchema(cached, jsonCol))
     }
     val keep = (f: StructField) =>
       (acceptedCols.isEmpty || acceptedCols.contains(f.name)) &&
         !excludedCols.contains(f.name)
-    val parsed = df.withColumn("__json__", from_json(col(jsonCol), sch))
+    val parsed = input.withColumn("__json__", from_json(col(jsonCol), sch))
     val (flatCols, arrayPaths0) = planFlatten(sch, "__json__", prefix,
       keep, nestedCols, collapsePrimitiveList)
     // single_value_list_cols (dataframe.py:4390-4398): arrays known to

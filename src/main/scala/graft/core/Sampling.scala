@@ -35,6 +35,112 @@ object Sampling {
   def sampleN(df: DataFrame, n: Int, seed: Long): DataFrame =
     df.orderBy(rand(seed)).limit(n)
 
+  /**
+   * Exact-n sample WITH replacement (dataframe.py:2873-2936 `sample_n`
+   * with `replace=True` / `sample_n_with_replacement`): n independent
+   * uniform draws over the rows, duplicates allowed. Distributed shape:
+   * the n draw indices are generated driver-side from the seed (n is a
+   * sample size — small by contract), collapsed to (index, copies)
+   * multiplicities, and joined against a zipWithIndex-numbered corpus
+   * (offset-based, no shuffle of the data); each matched row replicates
+   * by its multiplicity. One count, one broadcast join — never a global
+   * sort or single-partition window.
+   */
+  def sampleNWithReplacement(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    require(n >= 0, s"n cant be negative: $n")
+    val spark = df.sparkSession
+    if (n == 0) return df.limit(0)
+    val cnt = df.count()
+    if (cnt == 0) return df
+    val rng = new scala.util.Random(seed)
+    val draws = Seq.fill(n)(math.floorMod(rng.nextLong(), cnt))
+    val copies = draws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    import spark.implicits._
+    val picks = broadcast(copies.toDF("__idx__", "__copies__"))
+    val schema = df.schema
+    val numbered = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema.add("__idx__", LongType))
+    numbered.join(picks, Seq("__idx__"))
+      .withColumn("__rep__", explode(sequence(lit(1L), col("__copies__"))))
+      .drop("__idx__", "__copies__", "__rep__")
+  }
+
+  /** Downsample to `limit` rows only if the input exceeds it
+    * (dataframe.py:2911-2930 `sample_n_with_warn`): over-limit inputs are
+    * warned about and sampled; within-limit inputs pass through
+    * unchanged (no shuffle, no sort). */
+  def sampleNWithWarn(df: DataFrame, limit: Int, seed: Long,
+                      msg: String = null): DataFrame = {
+    val n = df.count()
+    if (n > limit) {
+      val detail = if (msg != null) msg else "Input exceeds the limit"
+      graft.core.Log.warn(s"sample_n_with_warn: $detail. $n > $limit. Taking a sample")
+      sampleN(df, limit, seed)
+    } else df
+  }
+
+  /**
+   * All-or-nothing group gate conditioned on the group's value of `col`
+   * (dataframe.py:3023-3079 `sample_group_by_col_value`): every group is
+   * assumed to carry one value of `col`; groups whose value != `colValue`
+   * always survive, groups AT the value survive at `ratio`. The
+   * reference's per-group `random.random()` is replaced by the
+   * deterministic per-group hash gate — same all-or-nothing contract,
+   * stable across runs and partitionings. Skew-reduction tool: thin out
+   * the one dominant value without touching the rest.
+   */
+  def sampleGroupByColValue(df: DataFrame, groupCols: Seq[String], valCol: String,
+                            colValue: String, ratio: Double, seed: Long): DataFrame = {
+    require(ratio >= 0 && ratio <= 1, s"Sampling ratio has to be between 0 and 1: $ratio")
+    df.filter(col(valCol).isNull ||
+      col(valCol).cast(StringType) =!= colValue ||
+      hashGate(groupCols.map(col), seed, ratio))
+  }
+
+  /** Portable (md5-gated) variant of `sampleGroupByColValue` — the
+    * DuckDB-differential gate mirrors it exactly. */
+  def sampleGroupByColValuePortable(df: DataFrame, groupCols: Seq[String],
+                                    valCol: String, colValue: String,
+                                    hexThreshold: String,
+                                    seedStr: String = "0"): DataFrame =
+    df.filter(col(valCol).isNull ||
+      col(valCol).cast(StringType) =!= colValue ||
+      portableGate(groupCols.map(col), seedStr, hexThreshold))
+
+  /**
+   * Per-class cap on distinct `valCol` values within each group
+   * (dataframe.py:3191-3239 `sample_group_by_max_uniq_values_per_class`):
+   * the allowed number of distinct values depends on each row's class —
+   * `maxUniqMap(class)`, falling back to `defMaxUniq` (None = unlimited).
+   * The reference gates rows at ratio cap/uniq_count with a hash of
+   * (group, class, value); this exact variant ranks distinct values
+   * deterministically (md5 of the null-sentineled value) within each
+   * group and keeps rows whose value rank is within their class's cap —
+   * same intent, exactly-capped, and portable to a SQL oracle. One
+   * window shuffle on the grouping key.
+   */
+  def sampleGroupByMaxUniqValuesPerClass(df: DataFrame, groupCols: Seq[String],
+                                         classCol: String, valCol: String,
+                                         maxUniqMap: Map[String, Int],
+                                         defMaxUniq: Option[Int] = None,
+                                         seedStr: String = "0"): DataFrame = {
+    maxUniqMap.values.foreach(v =>
+      require(v > 0, s"max_uniq_values has to be more than 0: $v"))
+    defMaxUniq.foreach(v =>
+      require(v > 0, s"max_uniq_values has to be more than 0: $v"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(portableKeyMaterial(Seq(col(valCol)), seedStr)), col(valCol))
+    val capExpr = maxUniqMap.foldLeft(
+        when(lit(false), lit(0))) { case (acc, (k, v)) =>
+        acc.when(col(classCol).cast(StringType) === k, lit(v))
+      }.otherwise(defMaxUniq.map(lit(_)).getOrElse(lit(Int.MaxValue)))
+    df.withColumn("__dr__", dense_rank().over(w))
+      .filter(col("__dr__") <= capExpr)
+      .drop("__dr__")
+  }
+
   /** Exact-n sample in ONE aggregation pass via the native reservoir
     * aggregate (plans/ReservoirSampleAgg): partial reservoirs merge on
     * executors — no sort key, no per-partition k-row driver merge. Rows

@@ -149,6 +149,20 @@ case class XDF(df: DataFrame) {
     XDF(df.withColumn(name, row_number().over(w))).reorder(name)
   }
 
+  /** Append one row given as a column->value map (dataframe.py:2530-2560
+    * add_map_as_row): missing columns take `defaultVal`; a missing column
+    * with no default is an error. */
+  def addMapAsRow(mp: Map[String, String], defaultVal: String = null): XDF = {
+    val values = header.map { h =>
+      mp.getOrElse(h, {
+        require(defaultVal != null,
+          s"Column not present in map and default value is not defined: $h")
+        defaultVal
+      })
+    }
+    addRow(values)
+  }
+
   /** Append one literal row (dataframe.py:2499-2528). */
   def addRow(values: Seq[Any]): XDF = {
     require(values.length == header.length, "row width mismatch")
@@ -301,6 +315,16 @@ case class XDF(df: DataFrame) {
     XDF(decoded)
   }
 
+  /** Selected-col variant (dataframe.py:2271-2280 resolve_url_encoded_cols):
+    * decode only the named `:url_encoded` columns and strip their suffix;
+    * other encoded columns stay untouched. */
+  def resolveUrlEncodedCols(cols: String*): XDF = {
+    val targets = res(cols).filter(_.endsWith(":url_encoded"))
+    XDF(targets.foldLeft(df)((d, c) =>
+      d.withColumn(c, url_decode(col(c).cast(StringType)))
+        .withColumnRenamed(c, c.stripSuffix(":url_encoded"))))
+  }
+
   /** First value of a column, or default on empty DF
     * (dataframe.py:5383-5393). Driver-side scalar by contract. */
   def firstValueWithDefault(c: String, default: String): String =
@@ -405,15 +429,22 @@ case class XDF(df: DataFrame) {
     }
   }
 
-  /** count + ratio-of-total per group, sorted desc (dataframe.py:414-438). */
+  /** count + ratio-of-total per group, sorted desc (dataframe.py:414-438).
+    * The ratio denominator is a broadcast 1-row aggregate, NOT an empty
+    * window — `sum().over(Window.partitionBy())` would funnel every group
+    * through a single task, a scale-killer when the grouping key is
+    * high-cardinality. `count` is map-side combinable, and the broadcast
+    * nested-loop join of a 1-row frame adds no shuffle. */
   def groupCount(cols: String*): XDF = {
     val keys = res(cols)
     val name = keys.mkString("_")
     val counted = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"$name:count"))
-    val total = sum(col(s"$name:count")).over(Window.partitionBy())
-    XDF(counted
-      .withColumn(s"$name:ratio", format_string("%.6f", col(s"$name:count") / total))
+    val total = broadcast(df.agg(count(lit(1)).as("__total__")))
+    XDF(counted.crossJoin(total)
+      .withColumn(s"$name:ratio",
+        format_string("%.6f", col(s"$name:count") / col("__total__")))
+      .drop("__total__")
       .orderBy(col(s"$name:count").desc, struct(keys.map(col): _*)))
   }
 
@@ -663,6 +694,15 @@ case class XDF(df: DataFrame) {
       .filter(col("__rn__") <= k).drop("__rn__"))
   }
 
+  /** Top-k per group only when the input exceeds `limit` rows
+    * (dataframe.py:2938-2946 sample_group_by_topk_if_reached_limit):
+    * within-limit inputs pass through untouched (no window, no shuffle). */
+  def sampleGroupByTopkIfReachedLimit(limit: Long, groupCols: Seq[String],
+                                      sortCol: String, k: Int,
+                                      reverse: Boolean = true): XDF =
+    if (df.count() > limit) sampleGroupByTopk(groupCols, sortCol, k, reverse)
+    else this
+
   // ===== row/col pruning by predicate (dataframe.py:184-246) =====
 
   /** Keep only columns where at least one value satisfies `pred` (plus
@@ -723,6 +763,28 @@ case class XDF(df: DataFrame) {
   def toTuples(): Seq[Seq[String]] =
     df.collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")))
 
+  /** Collect as one map per row (dataframe.py:1639-1671 to_maps). With
+    * `resolveUrlEncodedCols`, `:url_encoded:mkstr` / `:url_encoded:uniq_mkstr`
+    * keys lose their `:url_encoded` segment and their comma-joined tokens
+    * are url-decoded (the reference's literal branch also matches bare
+    * `:uniq_mkstr` keys and double-decodes — treated as a bug, per the
+    * suffix-rewrite intent of the surrounding API). */
+  def toMaps(resolveUrlEncodedCols: Boolean = false): Seq[Map[String, String]] = {
+    def fix(key: String, value: String): (String, String) =
+      if (resolveUrlEncodedCols &&
+          (key.endsWith(":url_encoded:mkstr") || key.endsWith(":url_encoded:uniq_mkstr"))) {
+        val newKey = key.replaceAll(":url_encoded(:(uniq_)?mkstr)$", "$1")
+        val decoded = value.split(",", -1).map(t =>
+          java.net.URLDecoder.decode(t, "UTF-8")).mkString(",")
+        (newKey, decoded)
+      } else (key, value)
+    df.collect().toSeq.map { r =>
+      header.zipWithIndex.map { case (h, i) =>
+        fix(h, Option(r.get(i)).map(_.toString).getOrElse(""))
+      }.toMap
+    }
+  }
+
   /** 2-col DF -> driver map; unique keys enforced (dataframe.py:1966-2017). */
   def colsAsMap(kcol: String, vcol: String): Map[String, String] = {
     val pairs = df.select(col(kcol).cast(StringType), col(vcol).cast(StringType))
@@ -745,6 +807,28 @@ case class XDF(df: DataFrame) {
   // ===== misc =====
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** Display sugar (dataframe.py:5007-5029 show_group_count): group-count
+    * the cols, optionally re-sort by key, prepend a display seq num, show
+    * `n` rows; returns the receiver unchanged. Driver/display path — the
+    * tiny grouped result is where the global seq window runs, never the
+    * input. */
+  def showGroupCount(cols: Seq[String], n: Int = 20, sortByKey: Boolean = false,
+                     seqCol: String = "sno"): XDF = {
+    val keys = res(cols)
+    val name = keys.mkString("_")
+    var gc = groupCount(cols: _*)
+    if (sortByKey) gc = gc.sort(keys)
+    val shown = if (seqCol == null) gc else {
+      val ord = if (sortByKey) keys.map(col(_).asc)
+                else Seq(col(s"$name:count").desc, struct(keys.map(col): _*).asc)
+      XDF(gc.df.withColumn(seqCol, row_number().over(Window.orderBy(ord: _*))))
+        .reorder(seqCol)
+    }
+    shown.show(n)
+    this
+  }
+
   def noop(): XDF = this
   def cache(): XDF = XDF(df.cache())
 

@@ -86,6 +86,22 @@ object Dedup {
   }
 
   /**
+   * Per-bucket minimum via partial aggregation + equi-join back — NOT a
+   * window. `min().over(Window.partitionBy(band, band_key))` forces every
+   * row of a bucket into one task partition; a heavily-duplicated corpus
+   * (the exact case dedup exists for — millions of copies of one
+   * boilerplate page sharing a band_key) turns that partition into a
+   * straggler/OOM at 100 TB. A groupBy `min` is map-side combinable —
+   * each partition contributes one candidate per bucket regardless of
+   * skew — and AQE skew-join handles the join-back side.
+   */
+  private def bucketMinJoin(banded: DataFrame, idCol: String): DataFrame = {
+    val bucketMins = banded.groupBy(col("band"), col("band_key"))
+      .agg(min(col(idCol)).as("__bucket_min__"))
+    banded.join(bucketMins, Seq("band", "band_key"))
+  }
+
+  /**
    * MinHash+LSH near-dup dedup: each doc's representative is the min doc
    * id it shares any LSH bucket with (one-hop component approximation —
    * the standard first-pass dedup at corpus scale). Returns the input
@@ -94,10 +110,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val banded = lshBands(df, idCol, textCol, shingleSize, numHashes, bands)
-    val reps = banded
-      .withColumn("__bucket_min__",
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
+    val reps = bucketMinJoin(banded, idCol)
       .groupBy(col(idCol))
       .agg(min(col("__bucket_min__")).as("__rep__"))
     // left join: a row whose text yields no shingles (null/unshingleable)
@@ -119,9 +132,9 @@ object Dedup {
    */
   def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                     maxIter: Int = 10): DataFrame =
+                     maxIter: Int = 10, reliable: Boolean = false): DataFrame =
     minhashClusters(df, idCol, textCol, shingleSize, numHashes, bands, maxIter,
-        outCol = "__cluster__")
+        outCol = "__cluster__", reliable = reliable)
       .filter(col("__cluster__") === col(idCol))
       .drop("__cluster__")
 
@@ -129,8 +142,9 @@ object Dedup {
     * whose component min equals their own id (rows absent from the graph
     * are singletons and always kept). */
   private def keepComponentMinima(df: DataFrame, idCol: String,
-                                  edges: DataFrame, maxIter: Int): DataFrame = {
-    val comp = GraphOps.connectedComponents(edges, maxIter)
+                                  edges: DataFrame, maxIter: Int,
+                                  reliable: Boolean = false): DataFrame = {
+    val comp = GraphOps.connectedComponents(edges, maxIter, reliable)
       .select(col("node_id").as(idCol), col("component"))
     df.join(comp, Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
@@ -146,16 +160,15 @@ object Dedup {
    */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                      maxIter: Int = 10, outCol: String = "cluster_id"): DataFrame = {
+                      maxIter: Int = 10, outCol: String = "cluster_id",
+                      reliable: Boolean = false): DataFrame = {
     require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
     val banded = lshBands(df, idCol, textCol, shingleSize, numHashes, bands)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_key"))
-    val edges = banded.withColumn("__bmin__", min(col(idCol)).over(w))
-      .filter(col(idCol) =!= col("__bmin__"))
-      .select(col(idCol).as("src"), col("__bmin__").as("target"))
+    val edges = bucketMinJoin(banded, idCol)
+      .filter(col(idCol) =!= col("__bucket_min__"))
+      .select(col(idCol).as("src"), col("__bucket_min__").as("target"))
       .distinct()
-    val comp = GraphOps.connectedComponents(edges, maxIter)
+    val comp = GraphOps.connectedComponents(edges, maxIter, reliable)
       .select(col("node_id").as(idCol), col("component"))
     df.join(comp, Seq(idCol), "left")
       .withColumn(outCol, coalesce(col("component"), col(idCol)))
@@ -180,13 +193,17 @@ object Dedup {
   }
 
   /** SimHash-based near-dup: docs sharing an identical 16-bit simhash are
-    * treated as duplicates; min doc id represents the cluster. */
-  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
-      .withColumn("__rep__",
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__sh__"))))
+    * treated as duplicates; min doc id represents the cluster. Per-hash
+    * minimum is a map-side-combinable groupBy + join-back, never a window
+    * over the hash (simhash16 has only 65,536 distinct values — a window
+    * partition would concentrate corpus-scale row groups on one task). */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
+    val reps = hashed.groupBy(col("__sh__")).agg(min(col(idCol)).as("__rep__"))
+    hashed.join(reps, Seq("__sh__"))
       .filter(col(idCol) === col("__rep__"))
       .drop("__sh__", "__rep__")
+  }
 
   /**
    * Hamming-tolerant SimHash dedup — the full algorithm: docs whose
@@ -199,7 +216,8 @@ object Dedup {
    * equi-join on the probed hash, so no pair space ever materializes.
    */
   def simhashDedupHamming(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 1, maxIter: Int = 10): DataFrame = {
+                          maxHamming: Int = 1, maxIter: Int = 10,
+                          reliable: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2, "maxHamming must be 0..2")
     val masks: Seq[Int] = Seq(0) ++
       (if (maxHamming >= 1) (0 until 16).map(1 << _) else Nil) ++
@@ -215,7 +233,7 @@ object Dedup {
         col("__p__") === col("__tsh__") && col("__pid__") < col("__tid__"))
       .select(col("__pid__").as("src"), col("__tid__").as("target"))
       .distinct()
-    keepComponentMinima(df, idCol, edges, maxIter)
+    keepComponentMinima(df, idCol, edges, maxIter, reliable)
   }
 
   /**
@@ -239,11 +257,12 @@ object Dedup {
    * view and a closure-dedup view.
    */
   def embeddingDedupCC(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, signBits: Int = 8,
-                       maxIter: Int = 10): DataFrame = {
-    val edges = embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits)
+                       threshold: Double, signBits: Int = 8, tables: Int = 1,
+                       maxIter: Int = 10, reliable: Boolean = false): DataFrame = {
+    val edges = embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits,
+        tables = tables)
       .select(col("id_a").as("src"), col("id_b").as("target"))
-    keepComponentMinima(df, idCol, edges, maxIter)
+    keepComponentMinima(df, idCol, edges, maxIter, reliable)
   }
 
   /**
@@ -251,18 +270,43 @@ object Dedup {
    * `threshold`. Candidate generation via sign-LSH buckets (see
    * Similarity.signBucket) keeps this off the O(n^2) path; `bruteForce`
    * flag forces the exact quadratic check for small/verification runs.
+   *
+   * Scale knobs: within-bucket candidate checking is quadratic, so
+   * `signBits` must grow with the corpus (8 bits = 256 buckets is a toy
+   * default; use 12-16 at corpus scale so bucket occupancy stays small).
+   * Raising signBits alone costs recall — a near-dup pair survives only
+   * if NO hyperplane of the wider code separates it — so `tables > 1`
+   * adds OR-amplification: `tables` independent sign codes (seeded
+   * hyperplane sets), a pair is a candidate if it collides in ANY table.
+   * Recall ≈ 1-(1-p^b)^t rather than p^b. Candidates are unioned and
+   * de-duplicated before the exact cosine check, so precision is
+   * unaffected.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, signBits: Int = 8,
-                            bruteForce: Boolean = false): DataFrame = {
+                            bruteForce: Boolean = false,
+                            tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
     val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val joined =
       if (bruteForce) l.crossJoin(r)
       else {
-        val lb = l.withColumn("__bkt__", Similarity.signBucket(col("v_a"), signBits))
-        val rb = r.withColumn("__bkt__", Similarity.signBucket(col("v_b"), signBits))
+        // one (table, bucket) pair per row per table, exploded — a pair
+        // colliding in several tables dedups through `distinct` on ids
+        // below before the cosine is evaluated once per surviving pair.
+        val lb = l.select(col("id_a"), col("v_a"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              Similarity.signBucket(col("v_a"), signBits, seed = t).as("k"))): _*))
+            .as("__bkt__"))
+        val rb = r.select(col("id_b"), col("v_b"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              Similarity.signBucket(col("v_b"), signBits, seed = t).as("k"))): _*))
+            .as("__bkt__"))
         lb.join(rb, "__bkt__").drop("__bkt__")
+          .dropDuplicates("id_a", "id_b")
       }
     joined.filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))

@@ -16,12 +16,37 @@ import org.apache.spark.sql.types._
 object GraphOps {
 
   /**
+   * Iteration checkpoint strategy. `reliable = false` (default) uses
+   * `localCheckpoint` — fast, lineage-truncating, but blocks live only in
+   * executor block managers: an executor loss mid-iteration kills the job.
+   * `reliable = true` writes reliable checkpoint files (caller must
+   * `spark.sparkContext.setCheckpointDir(...)` first, typically on the
+   * cluster's DFS) so iterative jobs survive executor loss — the mode to
+   * run at cluster scale (see docs/SCALE.md).
+   */
+  private def chk(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  /** Unpersist a superseded localCheckpoint's blocks (no-op for reliable
+    * checkpoint files). `Dataset.unpersist` only clears cache-manager
+    * entries — a localCheckpoint's blocks belong to the RDD inside the
+    * plan's LogicalRDD leaf, so that is what gets unpersisted. Only ever
+    * called on frames that are provably not returned — a truncated-
+    * lineage frame cannot be recomputed once its blocks are gone. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+
+  /**
    * BFS level assignment from root nodes (reference GT:7-78
    * `get_bfs_levels`): returns (node_id, level) with level 0 at roots;
    * unreachable nodes are absent. Cycle-tolerant — a node keeps its
    * first (minimal) level.
    */
-  def bfsLevels(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame = {
+  def bfsLevels(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
+                reliable: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("target"))
     var levels = roots.select(col("node_id")).distinct()
       .withColumn("level", lit(0))
@@ -29,15 +54,14 @@ object GraphOps {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      // localCheckpoint: materializes the frontier AND truncates lineage,
+      // checkpoint: materializes the frontier AND truncates lineage,
       // so iteration depth never grows the plan (a cache alone leaves a
       // recursive DAG that re-plans ever larger each round)
-      val next = frontier.join(e, frontier("node_id") === e("src"), "inner")
+      val next = chk(frontier.join(e, frontier("node_id") === e("src"), "inner")
         .select(col("target").as("node_id"), (col("level") + 1).as("level"))
         .join(levels.select(col("node_id").as("seen")),
           col("node_id") === col("seen"), "left_anti")
-        .groupBy("node_id").agg(min("level").as("level"))
-        .localCheckpoint()
+        .groupBy("node_id").agg(min("level").as("level")), reliable)
       if (next.isEmpty) done = true
       else {
         levels = levels.union(next)
@@ -148,14 +172,15 @@ object GraphOps {
    * Beyond-parity: the reference has no component/closure operator — its
    * graph layer stops at BFS levels (reference GT:7-78).
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src").as("a"), col("target").as("b"))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    val sym = chk(edges.select(col("src").as("a"), col("target").as("b"))
       .union(edges.select(col("target").as("a"), col("src").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node_id")).distinct()
-      .withColumn("component", col("node_id"))
-      .localCheckpoint()
+      .distinct(), reliable)
+    val labels0 = chk(sym.select(col("a").as("node_id")).distinct()
+      .withColumn("component", col("node_id")), reliable)
+    var labels = labels0
+    var prev: DataFrame = null // superseded label frame, released each round
     var i = 0
     var changed = 1L
     while (i < maxIter && changed > 0) {
@@ -163,27 +188,36 @@ object GraphOps {
           Seq("b"), "inner")
         .groupBy(col("a").as("node_id"))
         .agg(min(col("component")).as("__nbr_min__"))
-      val hopped = labels.join(nbrMin, Seq("node_id"), "left")
+      val hopped = chk(labels.join(nbrMin, Seq("node_id"), "left")
         .select(col("node_id"), col("component").as("__old__"),
           least(col("component"), coalesce(col("__nbr_min__"), col("component")))
-            .as("component"))
-        .localCheckpoint() // referenced twice below (self-join)
+            .as("component")), reliable) // referenced twice below (self-join)
       // pointer doubling: component <- component's component. Labels are
       // node ids, so the lookup is a self-join on the hopped labels.
-      val next = hopped.join(
+      val next = chk(hopped.join(
           hopped.select(col("node_id").as("component"),
             col("component").as("__cc__")),
           Seq("component"), "left")
         .select(col("node_id"),
           coalesce(col("__cc__"), col("component")).as("component"),
-          (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__"))
-        .localCheckpoint()
+          (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__")),
+        reliable)
+      // `next` is materialized (checkpoint is eager) — the superseded
+      // label frame and the intra-round `hopped` are dead weight now;
+      // without the release up to ~2*maxIter block sets pin block-manager
+      // memory for the life of the job
+      release(hopped)
+      if (prev != null) release(prev)
+      prev = if (labels eq labels0) null else labels // labels0 never returned early, but keep release simple
       // the final allowed iteration skips the fixpoint probe (its result
       // could not trigger another round anyway)
       changed = if (i + 1 < maxIter) next.filter(col("__chg__")).count() else 0L
       labels = next.drop("__chg__")
       i += 1
     }
+    release(sym)
+    if (prev != null) release(prev)
+    if (!(labels eq labels0)) release(labels0)
     labels
   }
 
@@ -193,10 +227,11 @@ object GraphOps {
    * per node, the number of distinct paths from any root and the set of
    * direct ancestors, via level-synchronous propagation.
    */
-  def forwardPaths(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame = {
+  def forwardPaths(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
+                   reliable: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("target"))
-    val base = roots.select(col("node_id")).distinct()
-      .withColumn("n_paths", lit(1L)).localCheckpoint()
+    val base = chk(roots.select(col("node_id")).distinct()
+      .withColumn("n_paths", lit(1L)), reliable)
     // recompute counts from scratch each round: paths_i(v) = [v is root]
     // + sum over in-edges of paths_{i-1}(u). A frontier-with-anti-join
     // would freeze a node's count at its FIRST discovery depth and drop
@@ -211,18 +246,248 @@ object GraphOps {
       val contrib = paths.join(e, paths("node_id") === e("src"), "inner")
         .groupBy(col("target").as("node_id"))
         .agg(sum("n_paths").as("n_paths"))
-      val next = base.select(col("node_id"), col("n_paths"))
+      val next = chk(base.select(col("node_id"), col("n_paths"))
         .unionByName(contrib.select(col("node_id"), col("n_paths")))
-        .groupBy("node_id").agg(sum("n_paths").as("n_paths"))
-        .localCheckpoint()
+        .groupBy("node_id").agg(sum("n_paths").as("n_paths")), reliable)
       // sum over an empty frame is NULL, not 0 (empty roots input)
       val total = Option(next.agg(sum("n_paths")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (total == prevTotal) done = true
       prevTotal = total
+      if (!(paths eq base)) release(paths) // superseded round's blocks
       paths = next
       i += 1
     }
     paths
+  }
+
+  /**
+   * Transitive ancestor closure as (node_id, anc) pairs: `anc` reaches
+   * `node_id` along directed edges. Semi-naive iteration — each round
+   * extends only the frontier of newly-discovered pairs one hop upward,
+   * so work per round is proportional to new facts, not the whole
+   * closure. Pairs-not-arrays is the 100 TB shape: the closure shuffles
+   * on node_id/anc keys and never builds a per-node array until the
+   * caller aggregates.
+   */
+  def ancestorClosure(edges: DataFrame, maxIter: Int = 20,
+                      reliable: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("target"))
+    var pairs = chk(e.select(col("target").as("node_id"), col("src").as("anc"))
+      .distinct(), reliable)
+    var frontier = pairs
+    var i = 1 // base pairs are round 1's facts
+    var done = frontier.isEmpty
+    while (i < maxIter && !done) {
+      val ext = frontier.join(e, frontier("anc") === e("target"))
+        .select(frontier("node_id"), e("src").as("anc")).distinct()
+      val fresh = chk(ext.join(pairs, Seq("node_id", "anc"), "left_anti"), reliable)
+      if (fresh.isEmpty) done = true
+      else {
+        val grown = chk(pairs.union(fresh), reliable)
+        release(pairs)
+        release(frontier)
+        pairs = grown
+        frontier = fresh
+      }
+      i += 1
+    }
+    pairs
+  }
+
+  /**
+   * Full `get_forward_edges_only` output contract (reference GT:80-171):
+   * the input edges gain three columns keyed on `target` —
+   * `<prefix>:src_paths` (sorted, `sep`-joined ancestors reachable along
+   * FORWARD edges only), `<prefix>:all_paths` (ancestors along all
+   * edges), and `<prefix>:ancestors` ('|'-joined enumeration of every
+   * distinct target-to-root path, each path `sep`-joined starting at the
+   * target). A "forward" edge is one that does not point back into its
+   * own ancestry (src->dest where dest is already an ancestor of src) —
+   * the declarative restatement of the reference crawl's cycle guard
+   * (`dest not in paths[src]`); on a DAG every edge is forward. The
+   * reference's single-pass BFS under-fills nodes whose ancestry grows
+   * after their dequeue (order-dependent, flagged WIP there); this
+   * computes the fixpoint.
+   *
+   * Path ENUMERATION is exponential in diamond count by definition —
+   * bounded by `maxIter` hops and meant for the small annotated
+   * subgraphs the reference applies it to, while the closure columns
+   * stay linear-ish and scale.
+   */
+  def forwardEdgesOnly(edges: DataFrame, prefix: String, sep: String = ",",
+                       maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("target"))
+    val allClosure = ancestorClosure(e, maxIter, reliable)
+    // forward edge: target is NOT an ancestor of src (and not a self-loop)
+    val backEdges = allClosure.select(col("node_id").as("src"), col("anc").as("target"))
+    val fwd = chk(e.filter(col("src") =!= col("target"))
+      .join(backEdges, Seq("src", "target"), "left_anti"), reliable)
+    val fwdClosure = ancestorClosure(fwd, maxIter, reliable)
+
+    val srcPaths = fwdClosure.groupBy(col("node_id").as("target"))
+      .agg(concat_ws(sep, sort_array(collect_set(col("anc")))).as(s"$prefix:src_paths"))
+    val allPaths = allClosure.groupBy(col("node_id").as("target"))
+      .agg(concat_ws(sep, sort_array(collect_set(col("anc")))).as(s"$prefix:all_paths"))
+
+    // ---- path enumeration over forward edges ----
+    // active partial paths: (dest, head, path); a path completes when its
+    // head has no parents AT ALL (reference: nodes with parents but none
+    // forward produce nothing — the cycle-guard recursion dead-ends)
+    val hasParents = e.select(col("target").as("head")).distinct()
+    var complete: DataFrame = null
+    var active = chk(edges.select(col("target")).distinct()
+      .select(col("target").as("dest"), col("target").as("head"),
+        col("target").cast(StringType).as("path")), reliable)
+    var i = 0
+    while (i < maxIter && !active.isEmpty) {
+      val withPar = active.join(
+        fwd.select(col("target").as("head"), col("src").as("__par__")),
+        Seq("head"), "left")
+      val ended = withPar.filter(col("__par__").isNull)
+        .join(hasParents, Seq("head"), "left_anti")
+        .select(col("dest"), col("path"))
+      complete = if (complete == null) ended else complete.unionByName(ended)
+      val nextActive = chk(withPar.filter(col("__par__").isNotNull)
+        .select(col("dest"), col("__par__").as("head"),
+          concat(col("path"), lit(sep), col("__par__")).as("path")), reliable)
+      release(active)
+      active = nextActive
+      i += 1
+    }
+    val ancestors = complete.groupBy(col("dest").as("target"))
+      .agg(concat_ws("|", sort_array(collect_set(col("path")))).as(s"$prefix:ancestors"))
+
+    edges.join(srcPaths, Seq("target"), "left")
+      .join(allPaths, Seq("target"), "left")
+      .join(ancestors, Seq("target"), "left")
+      .na.fill("", Seq(s"$prefix:src_paths", s"$prefix:all_paths", s"$prefix:ancestors"))
+  }
+
+  /**
+   * Time-respecting ancestor closure (reference GT:173-212
+   * `get_time_based_forward_edges_only` — a sequential fold over
+   * ts-sorted edges, warned there as "hard to understand"): the
+   * declarative semantics it approximates is TEMPORAL reachability —
+   * `<prefix>:src_paths` lists ancestors u with a path u->...->target
+   * whose edge timestamps are non-decreasing along the path;
+   * `<prefix>:all_paths` lists plain (time-ignoring) reachability, which
+   * is what the reference's repeated re-passes converge toward.
+   * Self-loops are dropped, as in the reference. State is (node, anc,
+   * min last-edge-ts) pairs — keeping the MINIMUM last-ts per pair
+   * dominates (extends at least as far), so the fixpoint is exact.
+   */
+  def timeBasedForwardEdgesOnly(edges: DataFrame, tsCol: String, prefix: String,
+                                sep: String = ",", maxIter: Int = 20,
+                                reliable: Boolean = false): DataFrame = {
+    val e = edges.filter(col("src") =!= col("target"))
+      .select(col("src"), col("target"), col(tsCol).cast(LongType).as("__ts__"))
+    var pairs = chk(e.select(col("target").as("node_id"), col("src").as("anc"),
+      col("__ts__").as("__last__")).groupBy("node_id", "anc")
+      .agg(min("__last__").as("__last__")), reliable)
+    var i = 1
+    var done = pairs.isEmpty
+    var prevN = pairs.count()
+    while (i < maxIter && !done) {
+      // extend: (v, u, t) + edge (v -> w, t' >= t)  =>  (w, u, t')
+      val ext = pairs.join(e, pairs("node_id") === e("src") &&
+          e("__ts__") >= pairs("__last__"))
+        .select(e("target").as("node_id"), pairs("anc"), e("__ts__").as("__last__"))
+      val next = chk(pairs.unionByName(ext)
+        .groupBy("node_id", "anc").agg(min("__last__").as("__last__")), reliable)
+      val n = next.count()
+      if (n == prevN) { done = true; release(next) }
+      else { release(pairs); pairs = next; prevN = n }
+      i += 1
+    }
+    val timePaths = pairs.groupBy(col("node_id").as("target"))
+      .agg(concat_ws(sep, sort_array(collect_set(col("anc")))).as(s"$prefix:src_paths"))
+    val allPaths = ancestorClosure(e, maxIter, reliable)
+      .groupBy(col("node_id").as("target"))
+      .agg(concat_ws(sep, sort_array(collect_set(col("anc")))).as(s"$prefix:all_paths"))
+    edges.join(timePaths, Seq("target"), "left")
+      .join(allPaths, Seq("target"), "left")
+      .na.fill("", Seq(s"$prefix:src_paths", s"$prefix:all_paths"))
+  }
+
+  /**
+   * Per-edge retention filter around annotated "detection" vertices
+   * (reference GT:447-485 `split_graph_filter_func`, lifted from a
+   * per-row callback to one broadcast-joined predicate). `retained` is
+   * (node_id, ts_min, ts_max). An edge survives when: either endpoint
+   * passes `specialNodeFilter`; neither endpoint is retained; both are
+   * retained; or the edge's ts respects the retained endpoint's window —
+   * for a retained TARGET the edge must not be after its ts_max (edges
+   * INTO a detection happen before it ends), for a retained SRC not
+   * before its ts_min (edges OUT of a detection happen after it starts).
+   */
+  def splitGraphFilter(edges: DataFrame, tsCol: String, retained: DataFrame,
+                       specialNodeFilter: Column => Column): DataFrame = {
+    val rSrc = broadcast(retained.select(col("node_id").as("src"),
+      col("ts_min").as("__src_min__"), lit(true).as("__src_ret__")))
+    val rTgt = broadcast(retained.select(col("node_id").as("target"),
+      col("ts_max").as("__tgt_max__"), lit(true).as("__tgt_ret__")))
+    val ts = col(tsCol).cast(LongType)
+    edges.join(rSrc, Seq("src"), "left").join(rTgt, Seq("target"), "left")
+      .filter(
+        specialNodeFilter(col("src")) || specialNodeFilter(col("target")) ||
+        (col("__src_ret__").isNull && col("__tgt_ret__").isNull) ||
+        (col("__src_ret__").isNotNull && col("__tgt_ret__").isNotNull) ||
+        (col("__tgt_ret__").isNotNull &&
+          (col("__tgt_max__").isNull || ts <= col("__tgt_max__").cast(LongType))) ||
+        (col("__src_ret__").isNotNull &&
+          (col("__src_min__").isNull || ts >= col("__src_min__").cast(LongType))))
+      .drop("__src_min__", "__src_ret__", "__tgt_max__", "__tgt_ret__")
+  }
+
+  /**
+   * Time-order pruning of adjacent edge pairs (reference GT:486-547
+   * `apply_time_order_based_filter` — unrunnable as written there:
+   * references undefined symbols; treated as spec). For every adjacent
+   * pair left:(a->b) / right:(b->c), a pairing is CONSISTENT when
+   * left.ts_min <= right.ts_max. An edge all of whose pairings are
+   * inconsistent is a candidate; the side to drop follows the
+   * reference's decision table — strict ordering always drops the right
+   * edge; otherwise edges touching a retained ("detection") vertex win
+   * over those that don't, then the side whose pairings are all
+   * inconsistent drops. Everything is equi-joins + groupBy on edge keys.
+   */
+  def applyTimeOrderBasedFilter(edges: DataFrame, tsCol: String,
+                                retainedIds: Seq[String],
+                                strictOrdering: Boolean = false): DataFrame = {
+    val minMax = edges.groupBy(col("src"), col("target"))
+      .agg(min(col(tsCol).cast(LongType)).as("ts_min"),
+        max(col(tsCol).cast(LongType)).as("ts_max"))
+    val left = minMax.select(col("src").as("l_src"), col("target").as("l_tgt"),
+      col("ts_min").as("l_min"), col("ts_max").as("l_max"))
+    val right = minMax.select(col("src").as("r_src"), col("target").as("r_tgt"),
+      col("ts_min").as("r_min"), col("ts_max").as("r_max"))
+    val pairs = left.join(right, col("l_tgt") === col("r_src"))
+      .withColumn("__ok__", (col("l_min") <= col("r_max")).cast(IntegerType))
+    val leftFlag = pairs.groupBy(col("l_src"), col("l_tgt"))
+      .agg(max("__ok__").as("__l_any_ok__"))
+    val rightFlag = pairs.groupBy(col("r_src"), col("r_tgt"))
+      .agg(max("__ok__").as("__r_any_ok__"))
+    val isDetect = (a: Column, b: Column) =>
+      a.isin(retainedIds: _*) || b.isin(retainedIds: _*)
+    val judged = pairs.filter(col("__ok__") === 0)
+      .join(leftFlag, Seq("l_src", "l_tgt"))
+      .join(rightFlag, Seq("r_src", "r_tgt"))
+      .filter(col("__l_any_ok__") === 0 || col("__r_any_ok__") === 0)
+      .withColumn("__l_det__", isDetect(col("l_src"), col("l_tgt")))
+      .withColumn("__r_det__", isDetect(col("r_src"), col("r_tgt")))
+      .withColumn("__side__",
+        when(lit(strictOrdering), "right")
+          .when(col("__l_det__") && col("__r_det__"), "")
+          .when(col("__l_det__"), "right")
+          .when(col("__r_det__"), "left")
+          .when(col("__l_any_ok__") === 0, "left")
+          .otherwise("right"))
+      .filter(col("__side__") =!= "")
+    val excluded = judged.select(
+        when(col("__side__") === "left", col("l_src")).otherwise(col("r_src")).as("src"),
+        when(col("__side__") === "left", col("l_tgt")).otherwise(col("r_tgt")).as("target"))
+      .distinct()
+    edges.join(excluded, Seq("src", "target"), "left_anti")
   }
 }

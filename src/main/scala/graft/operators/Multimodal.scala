@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata; decode / feature-extraction runs
  * as batched partition-local functions.
  *
- * The decode step itself is STUBBED (no codec libraries in this
- * environment): `fakeDecodeFeatures` derives a deterministic feature
- * vector from the bytes so the whole pipeline — schema, partitioning,
- * batch shape, downstream joins — is real and testable. Swapping in a
- * real decoder changes only the function body, not the plan.
+ * Image decode is REAL — JDK `javax.imageio` handles PNG/JPEG/GIF/BMP
+ * with zero external dependencies; decoded images mean-pool into a
+ * deterministic luminance-band feature vector. Payloads ImageIO cannot
+ * decode (non-image modalities, or formats needing codec libs absent
+ * from this environment — audio/video) fall back to
+ * `fakeDecodeFeatures`, a byte-level stand-in that keeps the pipeline
+ * shape identical so a real codec swap changes only the function body.
  *
  * Scale notes: `mapPartitions` keeps per-batch library initialization
  * (a real decoder's expensive part) amortized across the partition;
@@ -24,9 +26,9 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** STUB decoder: deterministic pseudo-features from raw bytes — stands
-    * in for image decode + embed. Replace the body with a real codec
-    * (??? in production builds) without touching the pipeline shape. */
+  /** Byte-level fallback features for payloads no installed codec can
+    * decode: deterministic folded byte histogram. Same shape/rounding as
+    * the real image features, so downstream plumbing is agnostic. */
   def fakeDecodeFeatures(bytes: Array[Byte]): Array[Double] = {
     val out = new Array[Double](FeatureDim)
     var i = 0
@@ -38,9 +40,54 @@ object Multimodal {
   }
 
   /**
+   * REAL image decode via JDK ImageIO: returns (width, height, features)
+   * where features = mean luminance ((r+g+b)/3/255) over `FeatureDim`
+   * horizontal bands — a deterministic, codec-exact mean-pool (PNG is
+   * lossless, so expected values are computable in closed form for
+   * planted fixtures). Returns None when the bytes aren't a decodable
+   * image.
+   */
+  def decodeImageFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w == 0 || h == 0) None
+      else {
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Long](FeatureDim)
+        var y = 0
+        while (y < h) {
+          val band = (y.toLong * FeatureDim / h).toInt
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sums(band) += (r + g + b) / (3.0 * 255.0)
+            counts(band) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, Array.tabulate(FeatureDim)(i =>
+          if (counts(i) == 0) 0.0
+          else math.round(sums(i) / counts(i) * 1e6) / 1e6)))
+      }
+    }
+  }
+
+  /**
    * Feature extraction over a binary column. Input: (idCol: long,
    * binCol: binary). Output one row per media item with metadata +
-   * feature vector. Partition-local, no shuffle.
+   * feature vector; decodable images (PNG/JPEG/GIF/BMP via ImageIO)
+   * additionally report width/height and REAL luminance-band features,
+   * anything else takes the byte-level fallback with null dimensions.
+   * Partition-local, no shuffle.
    */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -49,6 +96,8 @@ object Multimodal {
       StructField("first_byte", IntegerType),
       StructField("content_md5", StringType),
       StructField("features", ArrayType(DoubleType)),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
     ))
     val idIdx = df.columns.indexOf(idCol)
     val binIdx = df.columns.indexOf(binCol)
@@ -63,11 +112,17 @@ object Multimodal {
           // corrupt/missing payload: null feature fields, never an NPE
           // that kills the whole task (one bad media row is routine at
           // corpus scale)
-          Row(id, null, null, null, null)
+          Row(id, null, null, null, null, null, null)
         else {
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
-          Row(id, bytes.length, bytes.headOption.map(_ & 0xff).getOrElse(0): Int,
-            digest, fakeDecodeFeatures(bytes))
+          val first = bytes.headOption.map(_ & 0xff).getOrElse(0): Int
+          decodeImageFeatures(bytes) match {
+            case Some((w, h, feats)) =>
+              Row(id, bytes.length, first, digest, feats, w, h)
+            case None =>
+              Row(id, bytes.length, first, digest, fakeDecodeFeatures(bytes),
+                null, null)
+          }
         }
       }
     }(Encoders.row(outSchema))

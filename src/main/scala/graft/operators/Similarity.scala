@@ -32,13 +32,19 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-LSH bucket key: concatenated signs of the first `bits` leading
-    * dimensions. For roughly isotropic embeddings this is random-
-    * hyperplane LSH with axis-aligned planes — deterministic and engine-
-    * portable (no RNG state to ship). */
-  def signBucket(vec: Column, bits: Int): Column =
-    concat_ws("", (1 to bits).map(i =>
-      when(element_at(vec, i) >= 0, "1").otherwise("0")): _*)
+  /** Sign-LSH bucket key: concatenated signs of `bits` dimensions. For
+    * roughly isotropic embeddings this is random-hyperplane LSH with
+    * axis-aligned planes — deterministic and engine-portable (no RNG
+    * state to ship). `seed` selects which window of dimensions is used
+    * (table t reads dims t*bits..t*bits+bits-1, wrapping at the vector
+    * length), so distinct seeds give independent hash tables for
+    * OR-amplified candidate generation; seed=0 is the historic leading-
+    * dims bucket. */
+  def signBucket(vec: Column, bits: Int, seed: Int = 0): Column =
+    concat_ws("", (0 until bits).map { b =>
+      val idx = (pmod(lit(seed * bits + b), size(vec)) + 1).cast(IntegerType)
+      when(element_at(vec, idx) >= 0, "1").otherwise("0")
+    }: _*)
 
   /**
    * Exact top-k nearest neighbors by cosine for each query vector.

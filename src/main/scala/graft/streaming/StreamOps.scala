@@ -100,15 +100,28 @@ object StreamOps {
           } else {
             val sorted = events.toSeq.sortBy(_.tsMillis)
             var cur = state.getOption
+            // out-of-order events older than the live session's reach
+            // accumulate into ONE provisional past session (consecutive
+            // late events within gap of each other merge) instead of each
+            // closing as its own singleton. Because events are sorted
+            // ascending and the too-old threshold (start - gap) only
+            // moves down, all too-old events form a prefix — once an
+            // event joins the live session no later one can be too-old.
+            var late: Option[SessionState] = None
             val closed = scala.collection.mutable.ArrayBuffer[Session]()
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.tsMillis < s.start - gapMillis =>
-                  // out-of-order event older than the session's reach:
-                  // merging would span a quiet hole larger than the gap.
-                  // Emit it as its own (past) session — it cannot be
-                  // extended by anything newer in this sorted batch.
-                  closed += Session(key, e.tsMillis, e.tsMillis, 1, e.value)
+                  late match {
+                    case Some(l) if e.tsMillis - l.end <= gapMillis =>
+                      late = Some(SessionState(l.start,
+                        math.max(l.end, e.tsMillis), l.n + 1, l.sum + e.value))
+                    case Some(l) =>
+                      closed += Session(key, l.start, l.end, l.n, l.sum)
+                      late = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
+                    case None =>
+                      late = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
+                  }
                 case Some(s) if e.tsMillis - s.end <= gapMillis =>
                   // late events extend bounds monotonically - never
                   // rewind `end` (that would split future sessions and
@@ -120,6 +133,17 @@ object StreamOps {
                   cur = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
                 case None =>
                   cur = Some(SessionState(e.tsMillis, e.tsMillis, 1, e.value))
+              }
+            }
+            // the live session's start may have moved down into the late
+            // chain's reach — merge rather than emit a split session
+            late.foreach { l =>
+              cur match {
+                case Some(s) if s.start - l.end <= gapMillis =>
+                  cur = Some(SessionState(math.min(l.start, s.start),
+                    math.max(l.end, s.end), s.n + l.n, s.sum + l.sum))
+                case _ =>
+                  closed += Session(key, l.start, l.end, l.n, l.sum)
               }
             }
             cur.foreach { s =>
