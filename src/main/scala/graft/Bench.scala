@@ -30,6 +30,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
             -1L
         }
+        graft.core.JsonFlattener.releaseInferredCaches()
         name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
       }
     // best of 2 passes: first pass absorbs page-cache/JIT warm-up noise.
@@ -50,10 +51,14 @@ object Bench {
     // (a fast-but-empty result would otherwise look like a win)
     val rows = results.map { case (k, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // per-query times print EARLY in the line so a truncated capture
-    // still keeps the queries map for round-over-round diffing
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"rows":$rows}""")
+    // total excludes fail sentinels — one failed query must not turn the
+    // headline value into 1e9 garbage; `failed` reports the count instead
+    val failed = results.count(_._3 < 0)
+    val total = results.filter(_._3 >= 0).map(_._2).sum
+    // per-query times print LAST in the line: the driver's capture keeps
+    // a truncated line's TAIL, so the queries map is what must survive
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"rows":$rows,"queries":$qs}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

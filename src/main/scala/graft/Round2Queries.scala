@@ -53,14 +53,22 @@ object Round2Queries {
     }),
 
     // ===== sample_group_by_max_uniq_values_per_class: per-class cap on
-    // distinct values within each group (exact md5-ranked variant) =====
+    // distinct values within each group (exact md5-ranked variant);
+    // value column is derived (ship month) — the fixture lineitem carries
+    // no categorical value column beyond the class/group ones =====
     "q_sample_per_class_cap" -> ((s, dir) =>
       Sampling.sampleGroupByMaxUniqValuesPerClass(
-          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linestatus",
-          "l_shipmode", Map("O" -> 2), defMaxUniq = Some(3))
+          t(s, dir, "lineitem").withColumn("ship_month",
+            month(col("l_shipdate")).cast(StringType)),
+          Seq("l_returnflag"), "l_linestatus",
+          "ship_month", Map("O" -> 2), defMaxUniq = Some(3))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_linestatus"), col("l_shipmode"))
-        .orderBy("l_orderkey", "l_linenumber")),
+          col("l_linestatus"), col("ship_month"))
+        // full-row ordering: (orderkey, linenumber) is not unique in the
+        // synthetic fixture, and non-unique sort keys flake the row-order
+        // compare
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_linestatus", "ship_month")),
 
     // ===== sample_n with replacement: exact-n multinomial draw;
     // RNG-dependent, rows-only gate (count must be exactly n) =====
@@ -137,15 +145,15 @@ object Round2Queries {
          ORDER BY l_orderkey, l_linenumber""",
 
     "q_sample_per_class_cap" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_shipmode
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month
          FROM (
-           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_shipmode,
+           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month,
                   dense_rank() OVER (PARTITION BY l_returnflag
-                    ORDER BY md5(coalesce(l_shipmode::VARCHAR, chr(0)) || chr(1) || '0'),
-                             l_shipmode) AS dr
-           FROM lineitem)
+                    ORDER BY md5(coalesce(ship_month, chr(0)) || chr(1) || '0'),
+                             ship_month) AS dr
+           FROM (SELECT *, month(l_shipdate)::VARCHAR AS ship_month FROM lineitem))
          WHERE dr <= CASE WHEN l_linestatus = 'O' THEN 2 ELSE 3 END
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month""",
 
     "q_graph_forward_edges" ->
       """WITH RECURSIVE edges AS (

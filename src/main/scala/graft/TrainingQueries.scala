@@ -230,17 +230,20 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // tables = 1 pins the gate to the single-table sign-LSH the DuckDB
+    // oracle mirrors; the production default (tables = 4) only widens
+    // candidate recall and is law-tested against brute force in specs
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(
           embs(s, dir).filter(col("vec_id") % 10 === 0),
-          "vec_id", "embedding", threshold = 0.25, signBits = 4)
+          "vec_id", "embedding", threshold = 0.25, signBits = 4, tables = 1)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
     "q_dedup_embed_cc" -> ((s, dir) =>
       Dedup.embeddingDedupCC(
           embs(s, dir).filter(col("vec_id") % 10 === 0),
-          "vec_id", "embedding", threshold = 0.25, signBits = 4)
+          "vec_id", "embedding", threshold = 0.25, signBits = 4, tables = 1)
         .select("vec_id").orderBy("vec_id")),
 
     // ===== similarity search =====

@@ -25,6 +25,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // schema-inference caches are per-query scratch; freeing them here
+      // keeps one query's MEMORY_AND_DISK residue from outliving it
+      graft.core.JsonFlattener.releaseInferredCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -26,6 +26,23 @@ import org.apache.spark.sql.types._
  */
 object JsonFlattener {
 
+  // Inputs persisted for schema inference (see explodeJson). The persist
+  // is a pure cache — releasing it early only re-derives from lineage,
+  // never corrupts — so callers (and Verify's per-query loop) free it
+  // deterministically once the flatten has executed instead of pinning
+  // MEMORY_AND_DISK blocks for the session.
+  private val inferredCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every input cached for schema inference since the last
+    * call. Safe at any time (cache-only, lineage recomputes); call after
+    * the flattened result's first action for the intended single-scan +
+    * bounded-residue behavior. */
+  def releaseInferredCaches(): Unit = {
+    var d = inferredCaches.poll()
+    while (d != null) { d.unpersist(false); d = inferredCaches.poll() }
+  }
+
   /** Infer the schema of a JSON string column. `sampleRows` bounds the
     * inference scan (homogeneous payloads need only a few rows; a full
     * corpus pass would double every explode_json). Pass 0 for a full
@@ -70,6 +87,7 @@ object JsonFlattener {
         "keys first appearing beyond it will be absent — pass schema= or " +
         "inferSchema(sampleRows = 0) for heterogeneous payloads")
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      inferredCaches.add(cached)
       (cached, inferSchema(cached, jsonCol))
     }
     val keep = (f: StructField) =>

@@ -257,7 +257,7 @@ object Dedup {
    * view and a closure-dedup view.
    */
   def embeddingDedupCC(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, signBits: Int = 8, tables: Int = 1,
+                       threshold: Double, signBits: Int = 12, tables: Int = 4,
                        maxIter: Int = 10, reliable: Boolean = false): DataFrame = {
     val edges = embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits,
         tables = tables)
@@ -272,20 +272,21 @@ object Dedup {
    * flag forces the exact quadratic check for small/verification runs.
    *
    * Scale knobs: within-bucket candidate checking is quadratic, so
-   * `signBits` must grow with the corpus (8 bits = 256 buckets is a toy
-   * default; use 12-16 at corpus scale so bucket occupancy stays small).
-   * Raising signBits alone costs recall — a near-dup pair survives only
-   * if NO hyperplane of the wider code separates it — so `tables > 1`
-   * adds OR-amplification: `tables` independent sign codes (seeded
-   * hyperplane sets), a pair is a candidate if it collides in ANY table.
-   * Recall ≈ 1-(1-p^b)^t rather than p^b. Candidates are unioned and
-   * de-duplicated before the exact cosine check, so precision is
-   * unaffected.
+   * `signBits` must grow with the corpus (defaults are corpus-shaped:
+   * 12 bits = 4096 buckets/table; raise to 16 when bucket occupancy
+   * grows). Raising signBits alone costs recall — a near-dup pair
+   * survives only if NO hyperplane of the wider code separates it — so
+   * `tables` (default 4) adds OR-amplification: `tables` independent
+   * sign codes (seeded hyperplane sets), a pair is a candidate if it
+   * collides in ANY table. Recall ≈ 1-(1-p^b)^t rather than p^b
+   * (measured against brute force in OperatorsSpec's recall law).
+   * Candidates are unioned and de-duplicated before the exact cosine
+   * check, so precision is unaffected.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, signBits: Int = 8,
+                            threshold: Double, signBits: Int = 12,
                             bruteForce: Boolean = false,
-                            tables: Int = 1): DataFrame = {
+                            tables: Int = 4): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
     val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))

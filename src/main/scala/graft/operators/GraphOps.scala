@@ -22,10 +22,27 @@ object GraphOps {
    * `reliable = true` writes reliable checkpoint files (caller must
    * `spark.sparkContext.setCheckpointDir(...)` first, typically on the
    * cluster's DFS) so iterative jobs survive executor loss — the mode to
-   * run at cluster scale (see docs/SCALE.md).
+   * run at cluster scale (see SCALE.md "Reliable checkpointing").
+   *
+   * Constraint propagation is suppressed for the duration of the
+   * checkpoint: `Dataset.checkpoint` copies the source plan's constraint
+   * set onto the new LogicalRDD leaf, and when the source lineage holds a
+   * deduplicated SELF-JOIN of an earlier checkpoint (exactly what the
+   * pointer-doubling closures build every round) those constraints can
+   * reference rewritten attribute ids that no longer resolve —
+   * `java.util.NoSuchElementException: key not found: <attr>` from Union
+   * constraint rewriting at the next checkpoint. A constraint-free leaf
+   * only forgoes derived-filter inference on frames the loop re-filters
+   * anyway.
    */
-  private def chk(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+  private def chk(df: DataFrame, reliable: Boolean): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try if (reliable) df.checkpoint() else df.localCheckpoint()
+    finally conf.set(key, prev)
+  }
 
   /** Unpersist a superseded localCheckpoint's blocks (no-op for reliable
     * checkpoint files). `Dataset.unpersist` only clears cache-manager
@@ -69,6 +86,9 @@ object GraphOps {
       }
       i += 1
     }
+    if (!done)
+      graft.core.Log.warn(s"bfsLevels stopped at maxIter=$maxIter with a " +
+        "non-empty frontier; nodes deeper than that are missing levels")
     levels
   }
 
@@ -258,40 +278,53 @@ object GraphOps {
       paths = next
       i += 1
     }
+    if (!done)
+      graft.core.Log.warn(s"forwardPaths stopped at maxIter=$maxIter before " +
+        "fixpoint; counts for nodes deeper than that are incomplete")
     paths
   }
 
   /**
    * Transitive ancestor closure as (node_id, anc) pairs: `anc` reaches
-   * `node_id` along directed edges. Semi-naive iteration — each round
-   * extends only the frontier of newly-discovered pairs one hop upward,
-   * so work per round is proportional to new facts, not the whole
-   * closure. Pairs-not-arrays is the 100 TB shape: the closure shuffles
-   * on node_id/anc keys and never builds a per-node array until the
-   * caller aggregates.
+   * `node_id` along directed edges. Pointer-DOUBLED iteration — each
+   * round composes the closure-so-far with itself (pairs ⋈ pairs on
+   * anc = node_id), so after i rounds every path of length ≤ 2^i is
+   * covered and convergence is O(log diameter) rounds, not O(diameter)
+   * (the same shape as `connectedComponents`; a one-hop-per-round loop
+   * silently truncated graphs deeper than maxIter). Non-convergence at
+   * `maxIter` THROWS — a truncated closure is a wrong answer, never a
+   * return value. Pairs-not-arrays is the 100 TB shape: the closure
+   * shuffles on node_id/anc keys and never builds a per-node array
+   * until the caller aggregates.
    */
   def ancestorClosure(edges: DataFrame, maxIter: Int = 20,
                       reliable: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("target"))
     var pairs = chk(e.select(col("target").as("node_id"), col("src").as("anc"))
       .distinct(), reliable)
-    var frontier = pairs
-    var i = 1 // base pairs are round 1's facts
-    var done = frontier.isEmpty
-    while (i < maxIter && !done) {
-      val ext = frontier.join(e, frontier("anc") === e("target"))
-        .select(frontier("node_id"), e("src").as("anc")).distinct()
-      val fresh = chk(ext.join(pairs, Seq("node_id", "anc"), "left_anti"), reliable)
-      if (fresh.isEmpty) done = true
+    var i = 0
+    var converged = pairs.isEmpty
+    while (i < maxIter && !converged) {
+      // double: (n reached-by a) ∧ (a reached-by b)  =>  (n reached-by b)
+      val doubled = pairs.as("p").join(pairs.as("q"),
+          col("p.anc") === col("q.node_id"))
+        .select(col("p.node_id").as("node_id"), col("q.anc").as("anc"))
+        .distinct()
+      val fresh = chk(doubled.join(pairs, Seq("node_id", "anc"), "left_anti"),
+        reliable)
+      if (fresh.isEmpty) { converged = true; release(fresh) }
       else {
-        val grown = chk(pairs.union(fresh), reliable)
-        release(pairs)
-        release(frontier)
+        val grown = chk(pairs.unionByName(fresh), reliable)
+        release(pairs); release(fresh)
         pairs = grown
-        frontier = fresh
       }
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ancestorClosure did not converge in $maxIter doubling rounds " +
+          s"(graph diameter > 2^$maxIter or a growing cycle closure); " +
+          "raise maxIter — a truncated closure would be silently wrong")
     pairs
   }
 
@@ -333,9 +366,14 @@ object GraphOps {
     // ---- path enumeration over forward edges ----
     // active partial paths: (dest, head, path); a path completes when its
     // head has no parents AT ALL (reference: nodes with parents but none
-    // forward produce nothing — the cycle-guard recursion dead-ends)
+    // forward produce nothing — the cycle-guard recursion dead-ends).
+    // Each round's `ended` frame is CHECKPOINTED (eager, own blocks)
+    // before `release(active)` — the accumulated union must never
+    // reference a released frame's localCheckpoint blocks (a truncated-
+    // lineage frame cannot recompute; the lazy-union-then-release version
+    // crashed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution time).
     val hasParents = e.select(col("target").as("head")).distinct()
-    var complete: DataFrame = null
+    var completed = List.empty[DataFrame]
     var active = chk(edges.select(col("target")).distinct()
       .select(col("target").as("dest"), col("target").as("head"),
         col("target").cast(StringType).as("path")), reliable)
@@ -344,10 +382,10 @@ object GraphOps {
       val withPar = active.join(
         fwd.select(col("target").as("head"), col("src").as("__par__")),
         Seq("head"), "left")
-      val ended = withPar.filter(col("__par__").isNull)
+      val ended = chk(withPar.filter(col("__par__").isNull)
         .join(hasParents, Seq("head"), "left_anti")
-        .select(col("dest"), col("path"))
-      complete = if (complete == null) ended else complete.unionByName(ended)
+        .select(col("dest"), col("path")), reliable)
+      completed ::= ended
       val nextActive = chk(withPar.filter(col("__par__").isNotNull)
         .select(col("dest"), col("__par__").as("head"),
           concat(col("path"), lit(sep), col("__par__")).as("path")), reliable)
@@ -355,11 +393,31 @@ object GraphOps {
       active = nextActive
       i += 1
     }
-    val ancestors = complete.groupBy(col("dest").as("target"))
-      .agg(concat_ws("|", sort_array(collect_set(col("path")))).as(s"$prefix:ancestors"))
+    // fwd is cycle-free by construction (every cycle edge is a back edge),
+    // so a non-empty frontier here means a forward path longer than
+    // maxIter — enumeration would silently drop those paths; refuse.
+    if (!active.isEmpty)
+      throw new IllegalStateException(
+        s"forwardEdgesOnly path enumeration exceeded maxIter=$maxIter hops " +
+          "with paths still open; raise maxIter or use the closure columns")
+    val complete = completed.reduceOption(_ unionByName _).getOrElse {
+      val s = edges.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(active.schema("dest"), active.schema("path"))))
+    }
+    release(active)
+    // materialize the three aggregates, then free every iteration frame —
+    // the returned lazy plan must only reference blocks that stay alive
+    val ancestors = chk(complete.groupBy(col("dest").as("target"))
+      .agg(concat_ws("|", sort_array(collect_set(col("path"))))
+        .as(s"$prefix:ancestors")), reliable)
+    val srcPathsC = chk(srcPaths, reliable)
+    val allPathsC = chk(allPaths, reliable)
+    completed.foreach(release)
+    release(fwdClosure); release(allClosure); release(fwd)
 
-    edges.join(srcPaths, Seq("target"), "left")
-      .join(allPaths, Seq("target"), "left")
+    edges.join(srcPathsC, Seq("target"), "left")
+      .join(allPathsC, Seq("target"), "left")
       .join(ancestors, Seq("target"), "left")
       .na.fill("", Seq(s"$prefix:src_paths", s"$prefix:all_paths", s"$prefix:ancestors"))
   }
@@ -374,32 +432,62 @@ object GraphOps {
    * `<prefix>:all_paths` lists plain (time-ignoring) reachability, which
    * is what the reference's repeated re-passes converge toward.
    * Self-loops are dropped, as in the reference. State is (node, anc,
-   * min last-edge-ts) pairs — keeping the MINIMUM last-ts per pair
-   * dominates (extends at least as far), so the fixpoint is exact.
+   * first-ts, last-ts) path segments, Pareto-pruned and pointer-doubled
+   * (see inline comments) — fixpoint in O(log path-length) rounds, and
+   * non-convergence at maxIter throws rather than truncating.
    */
   def timeBasedForwardEdgesOnly(edges: DataFrame, tsCol: String, prefix: String,
                                 sep: String = ",", maxIter: Int = 20,
                                 reliable: Boolean = false): DataFrame = {
     val e = edges.filter(col("src") =!= col("target"))
       .select(col("src"), col("target"), col(tsCol).cast(LongType).as("__ts__"))
-    var pairs = chk(e.select(col("target").as("node_id"), col("src").as("anc"),
-      col("__ts__").as("__last__")).groupBy("node_id", "anc")
-      .agg(min("__last__").as("__last__")), reliable)
-    var i = 1
-    var done = pairs.isEmpty
-    var prevN = pairs.count()
-    while (i < maxIter && !done) {
-      // extend: (v, u, t) + edge (v -> w, t' >= t)  =>  (w, u, t')
-      val ext = pairs.join(e, pairs("node_id") === e("src") &&
-          e("__ts__") >= pairs("__last__"))
-        .select(e("target").as("node_id"), pairs("anc"), e("__ts__").as("__last__"))
-      val next = chk(pairs.unionByName(ext)
-        .groupBy("node_id", "anc").agg(min("__last__").as("__last__")), reliable)
-      val n = next.count()
-      if (n == prevN) { done = true; release(next) }
-      else { release(pairs); pairs = next; prevN = n }
+    // State: (node_id, anc, __f__, __l__) — a time-respecting path
+    // anc -> ... -> node_id whose FIRST edge ts is __f__ and LAST is
+    // __l__. Tracking both endpoints makes segments COMPOSABLE, so the
+    // closure pointer-doubles (O(log path-length) rounds); the previous
+    // last-ts-only state could only extend one edge per round and
+    // silently truncated at maxIter, and its count-based fixpoint probe
+    // missed rounds that only lowered a pair's min last-ts.
+    // Pareto prune: (f', l') dominates (f, l) when f' >= f && l' <= l —
+    // the dominating segment composes everywhere the dominated one does
+    // and yields a dominating result, so dropping dominated rows keeps
+    // the closure exact while bounding state per (node, anc).
+    def prune(df: DataFrame): DataFrame = {
+      val byF = df.groupBy("node_id", "anc", "__f__")
+        .agg(min("__l__").as("__l__"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node_id", "anc").orderBy(col("__f__").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byF.withColumn("__dom__", min("__l__").over(w))
+        .filter(col("__dom__").isNull || col("__l__") < col("__dom__"))
+        .drop("__dom__")
+    }
+    var pairs = chk(prune(e.select(col("target").as("node_id"),
+      col("src").as("anc"), col("__ts__").as("__f__"),
+      col("__ts__").as("__l__"))), reliable)
+    var i = 0
+    var converged = pairs.isEmpty
+    while (i < maxIter && !converged) {
+      // compose: p = anc -> v (f1, l1), q = v -> w (f2 >= l1, l2)
+      //          =>  anc -> w (f1, l2)
+      val composed = pairs.as("p").join(pairs.as("q"),
+          col("p.node_id") === col("q.anc") && col("q.__f__") >= col("p.__l__"))
+        .select(col("q.node_id").as("node_id"), col("p.anc").as("anc"),
+          col("p.__f__").as("__f__"), col("q.__l__").as("__l__"))
+      val next = chk(prune(pairs.unionByName(composed)), reliable)
+      // content-based fixpoint: both sides are Pareto sets, so any change
+      // surfaces as a row in next that pairs lacks (a pure removal can
+      // only be caused by a new dominating row)
+      if (next.join(pairs, Seq("node_id", "anc", "__f__", "__l__"),
+          "left_anti").isEmpty) { converged = true; release(next) }
+      else { release(pairs); pairs = next }
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"timeBasedForwardEdgesOnly did not converge in $maxIter doubling " +
+          "rounds; raise maxIter — a truncated temporal closure would be " +
+          "silently wrong")
     val timePaths = pairs.groupBy(col("node_id").as("target"))
       .agg(concat_ws(sep, sort_array(collect_set(col("anc")))).as(s"$prefix:src_paths"))
     val allPaths = ancestorClosure(e, maxIter, reliable)
