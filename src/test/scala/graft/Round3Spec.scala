@@ -199,6 +199,19 @@ class Round3Spec extends SparkTestBase {
     assert(out.df.head().getString(1) == "stay%20put")
   }
 
+  test("toTuples / colsAsMap / colAsArray driver bridges") {
+    val df = XDF(Seq(("k1", "v1"), ("k2", null: String)).toDF("k", "v"))
+    assert(df.toTuples().toSet == Set(Seq("k1", "v1"), Seq("k2", "")))
+    assert(XDF(Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v"))
+      .colsAsMap("k", "v") == Map("k1" -> "v1", "k2" -> "v2"))
+    intercept[IllegalArgumentException] {
+      XDF(Seq(("k1", "a"), ("k1", "b")).toDF("k", "v")).colsAsMap("k", "v")
+    }
+    assert(df.colAsArray("v").toSet == Set("v1", ""))
+    assert(XDF(Seq("a", "b", "a").toDF("c")).colAsArrayUniq("c").sorted ==
+      Seq("a", "b"))
+  }
+
   test("showGroupCount is display-only: returns the receiver unchanged") {
     val df = XDF(Seq(("a", "1"), ("a", "2"), ("b", "3")).toDF("g", "v"))
     val back = df.showGroupCount(Seq("g"), n = 5)
