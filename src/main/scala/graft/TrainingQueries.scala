@@ -230,6 +230,18 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ===== decontamination: docs sharing 3-grams with a planted "eval
+    // benchmark" (every 37th doc) are contaminated; minMatches=1 =====
+    "q_contamination_report" -> ((s, dir) =>
+      Dedup.contaminationReport(docs(s, dir), "doc_id", "text",
+          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3)
+        .orderBy("doc_id")),
+
+    "q_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), "doc_id", "text",
+          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3)
+        .select("doc_id").orderBy("doc_id")),
+
     // tables = 1 pins the gate to the single-table sign-LSH the DuckDB
     // oracle mirrors; the production default (tables = 4) only widens
     // candidate recall and is law-tested against brute force in specs
@@ -484,6 +496,25 @@ object TrainingQueries {
                  round(len(list_intersect(a.s, b.s))::DOUBLE
                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
           FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+
+    "q_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          dg AS (SELECT doc_id, unnest(s) AS g FROM sh)
+          SELECT dg.doc_id, count(*) AS eval_ngram_hits
+          FROM dg JOIN ev ON dg.g = ev.g
+          GROUP BY dg.doc_id ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g)
+          SELECT d.doc_id FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY d.doc_id""",
 
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

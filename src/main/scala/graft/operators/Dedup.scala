@@ -237,6 +237,49 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination report (beyond-parity; standard LLM
+   * training-data hygiene): per corpus document, the number of its
+   * DISTINCT word n-grams that also occur anywhere in the evaluation
+   * corpus. Only contaminated documents (>= 1 hit) appear.
+   *
+   * 100 TB shape: eval suites are small by contract (10^3..10^5 docs) —
+   * their distinct n-gram set builds once and BROADCASTS; the corpus
+   * explodes to distinct n-grams in the same scan and aggregates hits
+   * per doc id, so the corpus is never shuffled on content — one explode,
+   * one broadcast join, one partial-aggregated groupBy on doc id.
+   */
+  def contaminationReport(corpus: DataFrame, docIdCol: String, textCol: String,
+                          evalDocs: DataFrame, evalTextCol: String,
+                          n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs.select(explode(array_distinct(
+        TextOps.wordShingles(col(evalTextCol), n))).as("__gram__"))
+      .distinct()
+    corpus.select(col(docIdCol), explode(array_distinct(
+        TextOps.wordShingles(col(textCol), n))).as("__gram__"))
+      .join(broadcast(evalGrams), Seq("__gram__"))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("eval_ngram_hits"))
+  }
+
+  /**
+   * Benchmark decontamination: drop corpus documents sharing at least
+   * `minMatches` distinct word n-grams with the evaluation corpus (the
+   * overlap rule GPT-3-style training pipelines apply before training).
+   * Documents with null/unshingleable text carry no n-grams and always
+   * survive.
+   */
+  def decontaminate(corpus: DataFrame, docIdCol: String, textCol: String,
+                    evalDocs: DataFrame, evalTextCol: String,
+                    n: Int = 8, minMatches: Int = 1): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
+    val contaminated = contaminationReport(corpus, docIdCol, textCol,
+        evalDocs, evalTextCol, n)
+      .filter(col("eval_ngram_hits") >= minMatches)
+      .select(col(docIdCol))
+    corpus.join(contaminated, Seq(docIdCol), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: given a pair DF
    * with two text columns, append the Jaccard of their shingle sets.
    */

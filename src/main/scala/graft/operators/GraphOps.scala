@@ -208,10 +208,17 @@ object GraphOps {
           Seq("b"), "inner")
         .groupBy(col("a").as("node_id"))
         .agg(min(col("component")).as("__nbr_min__"))
-      val hopped = chk(labels.join(nbrMin, Seq("node_id"), "left")
+      // persist, not checkpoint: the self-join below reads `hopped` twice
+      // and the cache dedups that within the SAME job that materializes
+      // `next` — a checkpoint here would add a whole extra eager job per
+      // round (measured ~1/3 of CC wall time at toy scale, pure
+      // scheduler overhead). Plan depth stays bounded because `labels`
+      // is a checkpointed leaf.
+      val hopped = labels.join(nbrMin, Seq("node_id"), "left")
         .select(col("node_id"), col("component").as("__old__"),
           least(col("component"), coalesce(col("__nbr_min__"), col("component")))
-            .as("component")), reliable) // referenced twice below (self-join)
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: component <- component's component. Labels are
       // node ids, so the lookup is a self-join on the hopped labels.
       val next = chk(hopped.join(
@@ -222,11 +229,11 @@ object GraphOps {
           coalesce(col("__cc__"), col("component")).as("component"),
           (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__")),
         reliable)
-      // `next` is materialized (checkpoint is eager) — the superseded
-      // label frame and the intra-round `hopped` are dead weight now;
-      // without the release up to ~2*maxIter block sets pin block-manager
-      // memory for the life of the job
-      release(hopped)
+      // `next` is materialized (checkpoint is eager) with truncated
+      // lineage — the intra-round cache and the superseded label frame
+      // are dead weight now; without the release up to ~2*maxIter block
+      // sets pin block-manager memory for the life of the job
+      hopped.unpersist(false)
       if (prev != null) release(prev)
       prev = if (labels eq labels0) null else labels // labels0 never returned early, but keep release simple
       // the final allowed iteration skips the fixpoint probe (its result

@@ -291,6 +291,27 @@ class Round3Spec extends SparkTestBase {
       "inference cache still resident after release")
   }
 
+  // ===== decontamination laws =====
+
+  test("decontaminate: n-gram overlap removal, threshold, null-text survival") {
+    val corpus = Seq((1L, "the quick brown fox jumps"),
+      (2L, "totally unrelated words right here"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val eval = Seq("quick brown fox benchmark question").toDF("text")
+    val report = Dedup.contaminationReport(corpus, "doc_id", "text",
+        eval, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only "quick brown fox" is shared
+    assert(report == Map(1L -> 1L))
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text",
+        n = 3).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // a 2-hit threshold spares the single-overlap doc
+    val keptAll = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text",
+        n = 3, minMatches = 2).select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L))
+  }
+
   // ===== embedding-LSH recall law behind the raised defaults =====
 
   test("embedding LSH: multi-table recall dominates single-table and nears brute force") {
