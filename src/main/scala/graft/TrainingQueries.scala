@@ -230,6 +230,18 @@ object TrainingQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ===== corpus mixing: 3:1:1 over three sources, the rest dropped =====
+    "q_mix_by_source" -> ((s, dir) =>
+      graft.core.Sampling.mixBySource(docs(s, dir), "source",
+          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0), Seq("doc_id"))
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // ===== alpha-flattening: thin dominant languages toward uniform =====
+    "q_flatten_classes" -> ((s, dir) =>
+      graft.core.Sampling.flattenClasses(docs(s, dir), "lang", alpha = 0.5,
+          Seq("doc_id"))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // ===== decontamination: docs sharing 3-grams with a planted "eval
     // benchmark" (every 37th doc) are contaminated; minMatches=1 =====
     "q_contamination_report" -> ((s, dir) =>
@@ -496,6 +508,28 @@ object TrainingQueries {
                  round(len(list_intersect(a.s, b.s))::DOUBLE
                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
           FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+
+    "q_mix_by_source" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 3.0::DOUBLE),
+                   ('src1', 1.0::DOUBLE), ('src2', 1.0::DOUBLE)) AS t(source, wt)),
+          counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          cc AS (SELECT min(n / wt) AS c FROM counts JOIN w USING (source)),
+          thr AS (SELECT source,
+                    floor(least(1.0, (SELECT c FROM cc) * wt / n) * 4294967296)::BIGINT AS t
+                  FROM counts JOIN w USING (source))
+          SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || chr(1) || '0'), 1, 8))::BIGINT < thr.t
+          ORDER BY d.doc_id""",
+
+    "q_flatten_classes" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          nm AS (SELECT min(n) AS nmin FROM counts),
+          thr AS (SELECT lang,
+                    floor(pow((SELECT nmin FROM nm)::DOUBLE / n, 0.5) * 4294967296)::BIGINT AS t
+                  FROM counts)
+          SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || chr(1) || '0'), 1, 8))::BIGINT < thr.t
+          ORDER BY d.doc_id""",
 
     "q_contamination_report" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -245,6 +245,87 @@ object Sampling {
   /** Seeded shuffle (utils.py:601-618). */
   def randomShuffle(df: DataFrame, seed: Long): DataFrame = df.orderBy(rand(seed))
 
+  /**
+   * Corpus mixing for training-data pipelines (beyond-parity): given a
+   * corpus tagged by `sourceCol` and target mixing `weights`, downsample
+   * each source so the output approximates the weight proportions at the
+   * largest achievable total WITHOUT upsampling: with c = min_i(n_i/w_i),
+   * each source keeps ~c*w_i rows — the binding source passes whole,
+   * every other source hash-gates down. Sources absent from `weights`
+   * (weight 0) drop entirely.
+   *
+   * Determinism/scale: per-source keep rates are computed driver-side
+   * from one groupBy count (the number of SOURCES is small by contract —
+   * the rows are not collected); the row gate is the portable md5 hash of
+   * `keyCols`, so decisions are stable across runs, partitionings and
+   * engines, and the corpus is filtered in a single scan with a broadcast
+   * threshold join — no shuffle, no sort, no per-source pass.
+   */
+  def mixBySource(df: DataFrame, sourceCol: String,
+                  weights: Map[String, Double], keyCols: Seq[String],
+                  seedStr: String = "0"): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0, s"mixing weight must be positive: $s -> $w") }
+    val counts = classCounts(df, sourceCol)
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    if (present.isEmpty) return df.limit(0)
+    val c = present.map { case (s, w) => counts(s) / w }.min
+    val rates = present.map { case (s, w) =>
+      (s, math.min(1.0, c * w / counts(s))) }.toSeq
+    gateByClassRates(df, sourceCol, rates, keyCols, seedStr)
+  }
+
+  /**
+   * Temperature / alpha-flattening sampler (beyond-parity; the
+   * multilingual "alpha sampling" rule): downsample each class so
+   * effective sizes follow n_c^alpha instead of n_c — alpha = 1 keeps
+   * the natural distribution, alpha = 0 flattens toward uniform. Keep
+   * rate per class is (n_min/n_c)^(1-alpha): the smallest class passes
+   * whole (no upsampling), larger classes thin toward it, and the
+   * retained size n_c*(n_min/n_c)^(1-alpha) = n_min^(1-alpha)*n_c^alpha
+   * is proportional to n_c^alpha as required. Same driver-side-rates +
+   * portable md5 row gate shape as `mixBySource`.
+   */
+  def flattenClasses(df: DataFrame, classCol: String, alpha: Double,
+                     keyCols: Seq[String], seedStr: String = "0"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1]: $alpha")
+    val counts = classCounts(df, classCol)
+    if (counts.isEmpty) return df.limit(0)
+    val nMin = counts.values.min.toDouble
+    val rates = counts.map { case (cls, n) =>
+      (cls, math.pow(nMin / n, 1.0 - alpha))
+    }.toSeq
+    gateByClassRates(df, classCol, rates, keyCols, seedStr)
+  }
+
+  /** Per-class row counts, collected to the driver — the number of
+    * CLASSES is small by contract, never the rows. */
+  private def classCounts(df: DataFrame, classCol: String): Map[String, Long] =
+    df.groupBy(col(classCol).cast(StringType).as("__cls__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+
+  /** One-scan per-class Bernoulli gate: broadcast (class -> keep rate)
+    * thresholds over the md5 32-bit fraction space (floor() at the edge
+    * matches the SQL-oracle arithmetic bit for bit); classes without a
+    * rate drop. */
+  private def gateByClassRates(df: DataFrame, classCol: String,
+                               rates: Seq[(String, Double)],
+                               keyCols: Seq[String], seedStr: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = broadcast(rates.map { case (s, r) =>
+      (s, math.floor(r * 4294967296.0).toLong) }.toDF("__cls__", "__thr__"))
+    val hash32 = conv(substring(
+        md5(portableKeyMaterial(keyCols.map(col), seedStr)), 1, 8), 16, 10)
+      .cast(LongType)
+    df.join(thr, col(classCol).cast(StringType) === col("__cls__"))
+      .filter(hash32 < col("__thr__"))
+      .drop("__cls__", "__thr__")
+  }
+
   // ===== portable (md5-gated) variants =====
   // Same determinism contract as the xxhash64 gates but reproducible in
   // any engine with md5 — used by the DuckDB-differential gate, and by

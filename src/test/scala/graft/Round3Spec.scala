@@ -291,6 +291,53 @@ class Round3Spec extends SparkTestBase {
       "inference cache still resident after release")
   }
 
+  // ===== corpus mixing laws =====
+
+  test("mixBySource: proportions approximate weights, binding source whole, deterministic") {
+    val rows = (0 until 600).map(i =>
+      (i.toLong, if (i < 400) "big" else if (i < 500) "mid" else "small"))
+    val df = rows.toDF("id", "source")
+    // weights 1:1:1 with n = 400/100/100: binding source is mid/small
+    // (c = 100), so big downsamples to ~100 and mid/small pass whole
+    val mixed = Sampling.mixBySource(df, "source",
+      Map("big" -> 1.0, "mid" -> 1.0, "small" -> 1.0), Seq("id"))
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("mid") == 100 && bySrc("small") == 100)
+    assert(math.abs(bySrc("big") - 100) < 40, s"big kept ${bySrc("big")}")
+    // deterministic: identical output on rerun
+    val again = Sampling.mixBySource(df, "source",
+      Map("big" -> 1.0, "mid" -> 1.0, "small" -> 1.0), Seq("id"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(again == mixed.as[(Long, String)].collect().sorted.toSeq)
+    // unweighted sources drop
+    val onlyMid = Sampling.mixBySource(df, "source", Map("mid" -> 1.0), Seq("id"))
+    assert(onlyMid.select("source").distinct().as[String].collect().toSeq ==
+      Seq("mid"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixBySource(df, "source", Map("mid" -> -1.0), Seq("id"))
+    }
+  }
+
+  test("flattenClasses: alpha=1 is identity, alpha=0 flattens toward uniform, min class whole") {
+    val rows = (0 until 1000).map(i =>
+      (i.toLong, if (i < 800) "big" else if (i < 960) "mid" else "small"))
+    val df = rows.toDF("id", "cls")
+    // alpha = 1: natural distribution untouched
+    assert(Sampling.flattenClasses(df, "cls", 1.0, Seq("id")).count() == 1000)
+    val flat = Sampling.flattenClasses(df, "cls", 0.0, Seq("id"))
+      .groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 0: every class targets n_min = 40; the min class passes
+    // whole, others are Bernoulli around 40
+    assert(flat("small") == 40)
+    assert(math.abs(flat("big") - 40) < 25, s"big kept ${flat("big")}")
+    assert(math.abs(flat("mid") - 40) < 25, s"mid kept ${flat("mid")}")
+    intercept[IllegalArgumentException] {
+      Sampling.flattenClasses(df, "cls", 1.5, Seq("id"))
+    }
+  }
+
   // ===== decontamination laws =====
 
   test("decontaminate: n-gram overlap removal, threshold, null-text survival") {
