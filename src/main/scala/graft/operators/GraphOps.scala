@@ -317,14 +317,19 @@ object GraphOps {
           col("p.anc") === col("q.node_id"))
         .select(col("p.node_id").as("node_id"), col("q.anc").as("anc"))
         .distinct()
-      val fresh = chk(doubled.join(pairs, Seq("node_id", "anc"), "left_anti"),
-        reliable)
-      if (fresh.isEmpty) { converged = true; release(fresh) }
-      else {
-        val grown = chk(pairs.unionByName(fresh), reliable)
-        release(pairs); release(fresh)
-        pairs = grown
-      }
+      // fused round: ONE checkpoint materializes pairs ∪ fresh carrying a
+      // __new__ flag, and the fixpoint probe is a count over that already-
+      // materialized leaf. The previous shape (checkpoint fresh, isEmpty,
+      // checkpoint the union) paid three eager jobs per doubling round —
+      // pure scheduler cadence that dominated wall time on small graphs
+      // and adds a fixed tax per round at any scale.
+      val grown = chk(pairs.withColumn("__new__", lit(false))
+        .unionByName(doubled.join(pairs, Seq("node_id", "anc"), "left_anti")
+          .withColumn("__new__", lit(true))), reliable)
+      val freshCnt = grown.filter(col("__new__")).count()
+      release(pairs)
+      pairs = grown.select(col("node_id"), col("anc"))
+      converged = freshCnt == 0L
       i += 1
     }
     if (!converged)
@@ -374,58 +379,74 @@ object GraphOps {
     // active partial paths: (dest, head, path); a path completes when its
     // head has no parents AT ALL (reference: nodes with parents but none
     // forward produce nothing — the cycle-guard recursion dead-ends).
-    // Each round's `ended` frame is CHECKPOINTED (eager, own blocks)
-    // before `release(active)` — the accumulated union must never
-    // reference a released frame's localCheckpoint blocks (a truncated-
-    // lineage frame cannot recompute; the lazy-union-then-release version
-    // crashed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution time).
+    // Each hop is ONE checkpointed frame carrying both the parent
+    // extension and the has-any-parents flag; `ended` and the next
+    // frontier are lazy filters over that materialized leaf, and the
+    // open-frontier probe is a cheap count on it — versus the previous
+    // two-checkpoints-plus-isEmpty per hop (3 eager jobs of scheduler
+    // cadence). Step frames accumulate until the output aggregates are
+    // materialized, because the completed-path union references them (a
+    // released localCheckpoint cannot recompute — the release-early
+    // version crashed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     val hasParents = e.select(col("target").as("head")).distinct()
+      .withColumn("__hp__", lit(true))
     var completed = List.empty[DataFrame]
+    var frames = List.empty[DataFrame]
     var active = chk(edges.select(col("target")).distinct()
       .select(col("target").as("dest"), col("target").as("head"),
         col("target").cast(StringType).as("path")), reliable)
+    frames ::= active
+    var nActive = active.count()
     var i = 0
-    while (i < maxIter && !active.isEmpty) {
-      val withPar = active.join(
-        fwd.select(col("target").as("head"), col("src").as("__par__")),
-        Seq("head"), "left")
-      val ended = chk(withPar.filter(col("__par__").isNull)
-        .join(hasParents, Seq("head"), "left_anti")
-        .select(col("dest"), col("path")), reliable)
-      completed ::= ended
-      val nextActive = chk(withPar.filter(col("__par__").isNotNull)
+    while (i < maxIter && nActive > 0L) {
+      val step = chk(active.join(
+          fwd.select(col("target").as("head"), col("src").as("__par__")),
+          Seq("head"), "left")
+        .join(hasParents, Seq("head"), "left")
+        .select(col("dest"), col("path"), col("__par__"), col("__hp__")),
+        reliable)
+      frames ::= step
+      completed ::= step.filter(col("__par__").isNull && col("__hp__").isNull)
+        .select(col("dest"), col("path"))
+      active = step.filter(col("__par__").isNotNull)
         .select(col("dest"), col("__par__").as("head"),
-          concat(col("path"), lit(sep), col("__par__")).as("path")), reliable)
-      release(active)
-      active = nextActive
+          concat(col("path"), lit(sep), col("__par__")).as("path"))
+      nActive = step.filter(col("__par__").isNotNull).count()
       i += 1
     }
     // fwd is cycle-free by construction (every cycle edge is a back edge),
     // so a non-empty frontier here means a forward path longer than
     // maxIter — enumeration would silently drop those paths; refuse.
-    if (!active.isEmpty)
+    if (nActive > 0L)
       throw new IllegalStateException(
         s"forwardEdgesOnly path enumeration exceeded maxIter=$maxIter hops " +
           "with paths still open; raise maxIter or use the closure columns")
     val complete = completed.reduceOption(_ unionByName _).getOrElse {
       val s = edges.sparkSession
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(active.schema("dest"), active.schema("path"))))
+        StructType(Seq(StructField("dest", StringType), StructField("path", StringType))))
     }
-    release(active)
-    // materialize the three aggregates, then free every iteration frame —
-    // the returned lazy plan must only reference blocks that stay alive
-    val ancestors = chk(complete.groupBy(col("dest").as("target"))
-      .agg(concat_ws("|", sort_array(collect_set(col("path"))))
-        .as(s"$prefix:ancestors")), reliable)
-    val srcPathsC = chk(srcPaths, reliable)
-    val allPathsC = chk(allPaths, reliable)
-    completed.foreach(release)
+    // materialize all three output aggregates in ONE checkpointed job (a
+    // tagged union — they share the (target, string) shape), then free
+    // every iteration frame: the returned lazy plan must only reference
+    // blocks that stay alive.
+    val aggs = chk(
+      srcPaths.select(col("target"), lit("sp").as("__k__"),
+          col(s"$prefix:src_paths").as("__v__"))
+        .unionByName(allPaths.select(col("target"), lit("ap").as("__k__"),
+          col(s"$prefix:all_paths").as("__v__")))
+        .unionByName(complete.groupBy(col("dest").as("target"))
+          .agg(concat_ws("|", sort_array(collect_set(col("path")))).as("__v__"))
+          .select(col("target"), lit("an").as("__k__"), col("__v__"))),
+      reliable)
+    frames.foreach(release)
     release(fwdClosure); release(allClosure); release(fwd)
+    def part(k: String, name: String): DataFrame =
+      aggs.filter(col("__k__") === k).select(col("target"), col("__v__").as(name))
 
-    edges.join(srcPathsC, Seq("target"), "left")
-      .join(allPathsC, Seq("target"), "left")
-      .join(ancestors, Seq("target"), "left")
+    edges.join(part("sp", s"$prefix:src_paths"), Seq("target"), "left")
+      .join(part("ap", s"$prefix:all_paths"), Seq("target"), "left")
+      .join(part("an", s"$prefix:ancestors"), Seq("target"), "left")
       .na.fill("", Seq(s"$prefix:src_paths", s"$prefix:all_paths", s"$prefix:ancestors"))
   }
 
@@ -481,13 +502,21 @@ object GraphOps {
           col("p.node_id") === col("q.anc") && col("q.__f__") >= col("p.__l__"))
         .select(col("q.node_id").as("node_id"), col("p.anc").as("anc"),
           col("p.__f__").as("__f__"), col("q.__l__").as("__l__"))
-      val next = chk(prune(pairs.unionByName(composed)), reliable)
       // content-based fixpoint: both sides are Pareto sets, so any change
       // surfaces as a row in next that pairs lacks (a pure removal can
-      // only be caused by a new dominating row)
-      if (next.join(pairs, Seq("node_id", "anc", "__f__", "__l__"),
-          "left_anti").isEmpty) { converged = true; release(next) }
-      else { release(pairs); pairs = next }
+      // only be caused by a new dominating row). The probe is FUSED into
+      // the round's single checkpoint as a left-join flag against the
+      // previous (already materialized) Pareto set — pairs is unique on
+      // (node_id, anc, __f__, __l__), so the join cannot multiply rows —
+      // and the convergence test is a cheap count over the new leaf,
+      // not a second full anti-join job.
+      val next = chk(prune(pairs.unionByName(composed))
+        .join(pairs.withColumn("__old__", lit(true)),
+          Seq("node_id", "anc", "__f__", "__l__"), "left"), reliable)
+      val freshCnt = next.filter(col("__old__").isNull).count()
+      release(pairs)
+      pairs = next.select(col("node_id"), col("anc"), col("__f__"), col("__l__"))
+      converged = freshCnt == 0L
       i += 1
     }
     if (!converged)
