@@ -46,15 +46,38 @@ object WindowOps {
   }
 
   /**
-   * Reference-faithful `window_aggregate`: tumbling count-based windows
-   * over the sorted DISTINCT values of `winCol` (dataframe.py:655-672),
-   * window label = "first - last" of the value range (dataframe.py:713).
-   *
-   * Distributed shape: dense_rank over distinct values gives each value
-   * its ordinal; `floor((rank-1)/winsize)` is its tumbling window id; the
-   * label is the min/max value within the window. Two shuffles total
-   * (rank + final agg) regardless of data size.
+   * Globally contiguous 0-based ordinals over the sorted distinct window
+   * values, WITHOUT a single-partition window: `orderBy` range-partitions
+   * and locally sorts, and `zipWithIndex` stitches the per-partition
+   * offsets into a global index (one small count job, no data movement).
+   * A `row_number().over(Window.orderBy(...))` here would move every
+   * distinct value to ONE task — fine for a handful of categorical
+   * values, a straight scale-killer when the window column is
+   * near-unique (timestamps, the likeliest real input). The result is
+   * localCheckpoint'ed: it is consumed at least twice (count + join) and
+   * the zip must evaluate exactly once.
    */
+  private def ordinals(distinct: DataFrame, winCol: String): DataFrame = {
+    val sorted = distinct.orderBy(col(winCol))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__ord__", LongType, nullable = false))
+    val zipped = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(zipped, schema).localCheckpoint()
+  }
+
+  /** Distinct-cardinality guard for the ordinal-join build side: broadcast
+    * only while the distinct window values stay modest (an unconditional
+    * broadcast OOMs the driver/executors when a caller windows on a
+    * near-unique column); above the limit fall back to a shuffle join —
+    * with AQE on, Spark still promotes it back to broadcast at runtime if
+    * the actual size permits. */
+  private def maybeBroadcast(distinctVals: DataFrame, n: Long): DataFrame = {
+    val limit = distinctVals.sparkSession.conf
+      .get("graft.window.distinctBroadcastLimit", "1000000").toLong
+    if (n <= limit) broadcast(distinctVals) else distinctVals
+  }
+
   /** Sliding count-based variant (dataframe.py:674-678, 711-715): every
     * run of `winSize` consecutive distinct values is a window; a value
     * with ordinal o replicates into windows [max(0, o-winSize+1) .. o] —
@@ -63,14 +86,9 @@ object WindowOps {
                              aggFuncs: Seq[String], winSize: Int): DataFrame = {
     // null winCol rows are excluded up front: a null would take an ordinal
     // in distinctVals but never match the equi-join, silently losing rows
-    // AND misaligning every window after it. localCheckpoint: the frame is
-    // consumed twice (count + join) — without it the distinct + global
-    // row_number shuffle executes twice.
-    val distinctVals = df.filter(col(winCol).isNotNull)
-      .select(col(winCol).cast(StringType).as(winCol)).distinct()
-      .withColumn("__ord__",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))) - 1)
-      .localCheckpoint()
+    // AND misaligning every window after it
+    val distinctVals = ordinals(df.filter(col(winCol).isNotNull)
+      .select(col(winCol).cast(StringType).as(winCol)).distinct(), winCol)
     // only COMPLETE windows exist (reference dataframe.py:676-678 assigns
     // win_index only while num_values - win_index >= winsize): valid
     // window starts are 0 .. n-winSize
@@ -81,7 +99,7 @@ object WindowOps {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         windowAggregate(df.limit(0), winCol, aggCols, aggFuncs, winSize).schema)
     val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
-      .join(broadcast(distinctVals), Seq(winCol), "inner")
+      .join(maybeBroadcast(distinctVals, n), Seq(winCol), "inner")
       .withColumn("__win__", explode(sequence(
         greatest(lit(0L), col("__ord__") - (winSize - 1)),
         least(col("__ord__").cast("long"), lit(maxStart)))))
@@ -92,17 +110,27 @@ object WindowOps {
     tagged.groupBy(col("__win__")).agg(exprs.head, exprs.tail: _*).drop("__win__")
   }
 
+  /**
+   * Reference-faithful `window_aggregate`: tumbling count-based windows
+   * over the sorted DISTINCT values of `winCol` (dataframe.py:655-672),
+   * window label = "first - last" of the value range (dataframe.py:713).
+   *
+   * Distributed shape: a range-partitioned ordinal (see `ordinals`) gives
+   * each distinct value its rank; `floor(ord/winsize)` is its tumbling
+   * window id; the label is the min/max value within the window. No
+   * single-partition WindowExec anywhere, and the ordinal join broadcasts
+   * only under the cardinality guard.
+   */
   def windowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
                       aggFuncs: Seq[String], winSize: Int): DataFrame = {
     // null winCol rows excluded for the same reason as the sliding variant
-    val distinctVals = df.filter(col(winCol).isNotNull)
-      .select(col(winCol).cast(StringType).as(winCol)).distinct()
-      .withColumn("__ord__",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(winCol))))
-      .withColumn("__win__", floor((col("__ord__") - 1) / winSize))
+    val distinctVals = ordinals(df.filter(col(winCol).isNotNull)
+        .select(col(winCol).cast(StringType).as(winCol)).distinct(), winCol)
+      .withColumn("__win__", floor(col("__ord__") / winSize))
       .drop("__ord__")
+    val n = distinctVals.count()
     val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
-      .join(broadcast(distinctVals), Seq(winCol), "inner")
+      .join(maybeBroadcast(distinctVals, n), Seq(winCol), "inner")
     val label = concat_ws(" - ", min(col(winCol)), max(col(winCol)))
     val exprs = label.as(s"$winCol:window") +:
       aggCols.zip(aggFuncs).map { case (c, f) =>

@@ -66,6 +66,43 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("windowAggregate on a near-unique column: no single-partition window, guarded broadcast") {
+    import graft.core.WindowOps
+    // near-unique window column (every row distinct) — the input that made
+    // the old row_number-over-one-partition ordinal a scale-killer
+    val df = (1 to 5000).map(i => (f"ts$i%05d", i.toDouble)).toDF("w", "v")
+    val out = WindowOps.windowAggregate(df, "w", Seq("v"), Seq("sum"), 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"ordinal must not use a WindowExec, got:\n${plan.take(800)}")
+    assert(out.count() == 50)
+    // values are correct: window 0 covers ordinals 0..99 = v 1..100
+    val first = out.orderBy(col("w:window")).head()
+    assert(first.getString(0) == "ts00001 - ts00100")
+    assert(first.getDouble(1) == (1 to 100).sum.toDouble)
+    // cardinality guard: above the limit the initial plan must NOT pin a
+    // broadcast via hint (size-based auto-broadcast disabled so the hint
+    // path is the only one under test; AQE may still promote at runtime —
+    // assert on the pre-adaptive plan)
+    spark.conf.set("graft.window.distinctBroadcastLimit", "10")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = WindowOps.windowAggregate(df, "w", Seq("v"), Seq("sum"), 100)
+      val initial = guarded.queryExecution.sparkPlan.toString
+      assert(!initial.contains("BroadcastHashJoin"),
+        s"broadcast above the distinct limit, got:\n${initial.take(800)}")
+      assert(guarded.count() == 50)
+      // and below the limit the hint forces the broadcast regardless of
+      // the size threshold
+      spark.conf.set("graft.window.distinctBroadcastLimit", "1000000")
+      val hinted = WindowOps.windowAggregate(df, "w", Seq("v"), Seq("sum"), 100)
+      assert(hinted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("graft.window.distinctBroadcastLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted aggregate spreads a hot key over buckets") {
     val hot = (1 to 10000).map(i => ("hot", 1.0)).toDF("k", "v")
     val out = graft.operators.Skew.saltedSumCount(hot, Seq("k"), "v", 16)
