@@ -158,6 +158,32 @@ object StreamOps {
       }
   }
 
+  /**
+   * Batch twin of `sessionize`: identical gap semantics expressed as
+   * gaps-and-islands over window functions — a session break wherever
+   * the inter-event gap exceeds `gapMillis`, session id = running count
+   * of breaks. Every window is PARTITIONED BY key (no single-task sort),
+   * and the whole operator is two window passes + one aggregation.
+   * `tsMillisCol` is epoch millis (long). The streaming/batch pair is
+   * law-tested for equivalence (Round4Spec); this one carries the DuckDB
+   * gaps-and-islands oracle gate (q_sessionize_batch).
+   */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsMillisCol: String,
+                      valueCol: String, gapMillis: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("ts_ms")
+    val e = events.select(col(keyCol).cast("string").as("key"),
+      col(tsMillisCol).cast("long").as("ts_ms"),
+      col(valueCol).cast("double").as("value"))
+    val flagged = e.withColumn("__brk__",
+      when(col("ts_ms") - lag("ts_ms", 1).over(w) > gapMillis, 1).otherwise(0))
+    flagged.withColumn("__sid__", sum("__brk__").over(w))
+      .groupBy(col("key"), col("__sid__"))
+      .agg(min("ts_ms").as("session_start"), max("ts_ms").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("value_sum"))
+      .drop("__sid__")
+  }
+
   /** Write to an in-memory sink for tests / bounded polls (the
     * reference's bounded-read semantics: process what arrived, stop). */
   def runToMemory(stream: DataFrame, queryName: String,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Round-4 laws: the streaming sessionizer and its batch
+  * gaps-and-islands twin must produce identical sessions, and the batch
+  * twin's window is key-partitioned (scale-safe). */
+class Round4Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sessionizeBatch: known tiny fixture") {
+    val e = Seq(
+      ("a", 1000L, 1.0), ("a", 2000L, 2.0),   // session 1: gap 1s
+      ("a", 10000L, 3.0),                     // session 2 (gap 8s > 5s)
+      ("b", 500L, 4.0)
+    ).toDF("k", "ms", "v")
+    val out = StreamOps.sessionizeBatch(e, "k", "ms", "v", 5000L)
+      .orderBy("key", "session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("a", 1000L, 2000L, 2L, 3.0),
+      ("a", 10000L, 10000L, 1L, 3.0),
+      ("b", 500L, 500L, 1L, 4.0)))
+    // scale shape: every window is partitioned by key — no single-task sort
+    val plan = StreamOps.sessionizeBatch(e, "k", "ms", "v", 5000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("No Partition"), "window must be key-partitioned")
+  }
+
+  test("sessionize streaming output equals the batch gaps-and-islands twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq").toString
+    val rng = new scala.util.Random(42)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
+      .withZone(java.time.ZoneOffset.UTC)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    // per-key monotone timestamps with gaps straddling the 30-minute
+    // threshold; integer values so double sums are order-exact
+    val events = Seq("a", "b", "c").flatMap { k =>
+      var t = base
+      (0 until 60).map { i =>
+        t += (rng.nextInt(7200) + 1) * 1000L // 1s .. 2h steps
+        (k, t, i.toDouble)
+      }
+    }
+    def line(k: String, ms: Long, v: Double) =
+      s"""{"ts": "${fmt.format(java.time.Instant.ofEpochMilli(ms))}", "k": "$k", "v": $v}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.json"),
+      events.map((line _).tupled).mkString("", "\n", "\n"))
+    val gap = 30 * 60 * 1000L
+    val stream = StreamOps.readJsonStream(spark, dir,
+      "ts TIMESTAMP, k STRING, v DOUBLE")
+    val sessions = StreamOps.sessionize(stream, "k", "ts", "v",
+      gapMillis = gap, watermark = "100 days")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_eq").outputMode("append").start()
+    val sentinelMs = base + 365L * 24 * 3600 * 1000
+    try {
+      q.processAllAvailable()
+      // sentinel per key, one year out: its gap closes each live session
+      // in-function; the sentinel session itself stays in state (never
+      // emitted), so the emitted set is exactly the real sessions
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b2.json"),
+        Seq("a", "b", "c").map(k => line(k, sentinelMs, 0.0))
+          .mkString("", "\n", "\n"))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sess_eq")
+        .filter(col("session_start") < sentinelMs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = StreamOps.sessionizeBatch(
+          events.toDF("k", "ms", "v"), "k", "ms", "v", gap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming ${streamed.size} vs batch ${batch.size}; " +
+          s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+}
