@@ -49,6 +49,144 @@ for name, sql in sorted(oracle.items()):
     else:
         ok.append(name)
 
+# ---- value checks for the gates DuckDB SQL can't express ----
+# (driver records these as rows-only; this script checks actual values)
+
+MASK64 = (1 << 64) - 1
+
+
+def mmh3_hash64(data: bytes, seed: int = 0) -> int:
+    """First 64-bit word of murmur3 x64_128, signed — mirrors
+    graft.functions.Mmh3.hash64 (== python mmh3.hash64(v)[0])."""
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & MASK64
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & MASK64
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & MASK64
+        k ^= k >> 33
+        return k
+
+    C1, C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed & MASK64
+    L = len(data)
+    nblocks = L // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], "little")
+        k1 = (k1 * C1) & MASK64; k1 = rotl(k1, 31); k1 = (k1 * C2) & MASK64; h1 ^= k1
+        h1 = rotl(h1, 27); h1 = (h1 + h2) & MASK64; h1 = (h1 * 5 + 0x52DCE729) & MASK64
+        k2 = (k2 * C2) & MASK64; k2 = rotl(k2, 33); k2 = (k2 * C1) & MASK64; h2 ^= k2
+        h2 = rotl(h2, 31); h2 = (h2 + h1) & MASK64; h2 = (h2 * 5 + 0x38495AB5) & MASK64
+    tail = data[nblocks * 16:]
+    tl = len(tail)
+    k1 = k2 = 0
+    if tl >= 9:
+        for j in range(tl - 1, 7, -1):
+            k2 ^= tail[j] << ((j - 8) * 8)
+        k2 = (k2 * C2) & MASK64; k2 = rotl(k2, 33); k2 = (k2 * C1) & MASK64; h2 ^= k2
+    if tl > 0:
+        for j in range(min(tl, 8) - 1, -1, -1):
+            k1 ^= tail[j] << (j * 8)
+        k1 = (k1 * C1) & MASK64; k1 = rotl(k1, 31); k1 = (k1 * C2) & MASK64; h1 ^= k1
+    h1 ^= L; h2 ^= L
+    h1 = (h1 + h2) & MASK64; h2 = (h2 + h1) & MASK64
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 = (h1 + h2) & MASK64
+    return h1 - (1 << 64) if h1 >= (1 << 63) else h1
+
+
+class JavaRandom:
+    """java.util.Random LCG (what scala.util.Random wraps) — replicates
+    the seed-deterministic draw in Sampling.sampleNWithReplacement."""
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        r = self.seed >> (48 - bits)
+        return r - (1 << 32) if bits == 32 and r >= (1 << 31) else r
+
+    def next_long(self):
+        v = ((self._next(32) << 32) + self._next(32)) & MASK64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def check_keyhash(got):
+    import pyarrow.parquet as papq
+    nation = papq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    exp = sorted((k, abs(mmh3_hash64(f"{k}\t{n}".encode())))
+                 for k, n in zip(nation["n_nationkey"], nation["n_name"]))
+    act = sorted(zip(got["n_nationkey"].astype(int), got["key_hash"].astype(int)))
+    if act != exp:
+        d = [p for p in zip(act, exp) if p[0] != p[1]][:2]
+        return f"VALUES: mmh3 mismatch {d}"
+    return None
+
+
+def check_sample_n_replace(got):
+    import pyarrow.parquet as papq
+    keys = papq.read_table(f"{sf_dir}/orders.parquet").column("o_orderkey").to_pylist()
+    rng = JavaRandom(7)
+    draws = [rng.next_long() % len(keys) for _ in range(100)]  # python % == floorMod
+    exp = sorted(keys[i] for i in draws)
+    act = sorted(got["o_orderkey"].astype(int))
+    if act != exp:
+        return (f"VALUES: seed-7 multiset mismatch; "
+                f"first diff {[p for p in zip(act, exp) if p[0] != p[1]][:2]}")
+    return None
+
+
+def check_ivf_topk(got):
+    import numpy as np
+    import pyarrow.parquet as papq
+    t = papq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    vecs = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    qmask = ids < 10
+    truth = {}
+    for qid, qv, qn in zip(ids[qmask], vecs[qmask], norms[qmask]):
+        cos = (vecs @ qv) / (norms * qn)
+        top = sorted(zip(-cos, ids), key=lambda p: (p[0], p[1]))[:3]
+        truth[int(qid)] = {int(i) for _, i in top}
+    vec_by_id = dict(zip(ids.astype(int), range(len(ids))))
+    hits, total = 0, 0
+    for _, r in got.iterrows():
+        qid, vid, cos = int(r["query_id"]), int(r["vec_id"]), float(r["cosine"])
+        total += 1
+        hits += vid in truth[qid]
+        qi, ci = vec_by_id[qid], vec_by_id[vid]
+        true_cos = float(vecs[ci] @ vecs[qi] / (norms[ci] * norms[qi]))
+        if abs(cos - true_cos) > 1e-5:
+            return f"VALUES: reported cosine {cos} != recomputed {true_cos} for q{qid}/v{vid}"
+    per_q = got.groupby("query_id").size()
+    if len(per_q) != 10 or (per_q != 3).any():
+        return f"ROWS: expected 3 rows x 10 queries, got {dict(per_q)}"
+    recall = hits / total
+    if recall < 0.5:
+        return f"VALUES: IVF recall {recall:.2f} < 0.5 vs brute-force top-3"
+    return None
+
+
+SPECIAL = {
+    "q_keyhash_mmh3": check_keyhash,
+    "q_sample_n_replace": check_sample_n_replace,
+    "q_sim_ivf_topk": check_ivf_topk,
+}
+for name, fn in sorted(SPECIAL.items()):
+    pq = f"{out_dir}/{name}"
+    if not os.path.isdir(pq):
+        bad.append((name, "NO SPARK OUTPUT")); continue
+    try:
+        got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+        err = fn(got)
+        bad.append((name, err)) if err else ok.append(name)
+    except Exception as e:
+        bad.append((name, f"CHECK ERROR: {e}"))
+
 print(f"PASS {len(ok)}: {' '.join(ok)}")
 print(f"FAIL {len(bad)}:")
 for n, msg in bad:
