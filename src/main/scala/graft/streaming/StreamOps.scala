@@ -28,6 +28,45 @@ object StreamOps {
     spark.readStream.schema(schemaDdl).json(dir)
 
   /**
+   * Kafka source configuration (reference: EXT/kafka_ext.py:13-104 —
+   * bounded topic polling into a DataFrame). Maps 1:1 onto the options
+   * of Spark's `format("kafka")` source; `maxOffsetsPerTrigger` bounds
+   * each micro-batch the way the reference's `max_records` bounds a
+   * poll. The kafka connector jar ships with the cluster, not with this
+   * library — `load()` resolves the provider at runtime, so the builder
+   * is testable offline and the source usable wherever the jar exists.
+   */
+  final case class KafkaSourceConfig(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true,
+      extra: Map[String, String] = Map.empty) {
+    def toOptions: Map[String, String] =
+      Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topics.mkString(","),
+        "startingOffsets" -> startingOffsets,
+        "failOnDataLoss" -> failOnDataLoss.toString) ++
+        maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+        extra
+  }
+
+  /** `readStream.format("kafka")` with the config's options; value/key
+    * arrive as binary — pair with `from_json(col("value").cast("string"),
+    * schema)` downstream. Requires the kafka connector jar on the
+    * cluster classpath (absent in this offline container). */
+  def readKafkaStream(spark: SparkSession, config: KafkaSourceConfig): DataFrame =
+    spark.readStream.format("kafka").options(config.toOptions).load()
+
+  /** Batch (bounded) kafka read — the closest analogue of the
+    * reference's poll-then-return contract. */
+  def readKafkaBatch(spark: SparkSession, config: KafkaSourceConfig): DataFrame =
+    spark.read.format("kafka").options(config.toOptions)
+      .option("endingOffsets", "latest").load()
+
+  /**
    * Tumbling/sliding event-time windowed aggregate with a watermark —
    * the streaming twin of WindowOps.tumblingTimeAggregate. Late rows
    * beyond `watermark` drop; state for closed windows evicts.

@@ -30,6 +30,28 @@ class Round4Spec extends SparkTestBase {
       !plan.contains("No Partition"), "window must be key-partitioned")
   }
 
+  test("kafka source config maps onto the format(\"kafka\") option surface") {
+    val cfg = StreamOps.KafkaSourceConfig(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      topics = Seq("events", "audit"),
+      startingOffsets = "latest",
+      maxOffsetsPerTrigger = Some(50000L),
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    val opts = cfg.toOptions
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "events,audit")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("maxOffsetsPerTrigger") == "50000")
+    assert(opts("failOnDataLoss") == "true")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    // the connector jar is not in this container: load() must fail with
+    // source-not-found, proving the builder reaches the provider lookup
+    val ex = intercept[Exception] {
+      StreamOps.readKafkaStream(spark, cfg)
+    }
+    assert(ex.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("sessionize streaming output equals the batch gaps-and-islands twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq").toString
     val rng = new scala.util.Random(42)
