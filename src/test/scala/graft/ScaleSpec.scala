@@ -55,6 +55,22 @@ class ScaleSpec extends SparkTestBase {
     val t = df.transformInline(Seq("m:.*"), c => concat(c, lit("x")))
     assert(t.toDF.head().getString(2) == "3x") // m:f3 is the 3rd column
     assert(t.getHeader.size == n)
+    // ... and the physical plan is exactly ONE Project over the scan —
+    // resolution is driver-side name algebra, never a per-column data pass
+    val plan = t.toDF.queryExecution.executedPlan.toString
+    assert("(?m)^\\s*\\+?-?\\s*\\*?\\(?\\d*\\)?\\s*Project".r
+      .findAllIn(plan).length <= 1, s"plan:\n${plan.take(500)}")
+    // dropEmptyCols sweeps all 1000 columns in ONE aggregate job: every
+    // per-column emptiness probe lives in a single Aggregate node
+    val half = XDF(spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(
+        (1 to n).map(i => if (i % 2 == 0) "" else i.toString))), schema))
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    val swept = half.dropEmptyCols()
+    assert(swept.getHeader.size == n / 2)
+    val jobsAfter = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter - jobsBefore <= 2,
+      s"dropEmptyCols ran ${jobsAfter - jobsBefore} jobs over $n columns")
   }
 
   test("map-join plans a broadcast hash join") {
