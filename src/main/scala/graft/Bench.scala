@@ -22,8 +22,18 @@ object Bench {
     // failed pass records a sentinel so min() can never report a
     // fast-failure as a benchmark time
     val FailSentinel = 1e9
+    // dev-loop convenience: SPARK_GRAFT_QUERY_FILTER=substr1,substr2
+    // times only matching queries (the driver never sets it)
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_QUERY_FILTER") match {
+        case Some(f) if f.nonEmpty =>
+          val pats = f.split(",").map(_.trim).filter(_.nonEmpty)
+          n => pats.exists(n.contains)
+        case _ => _ => true
+      }
     def timeAll(): Seq[(String, (Double, Long))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(p => nameFilter(p._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -40,7 +50,7 @@ object Bench {
     // mixed record).
     val p1 = timeAll().toMap
     val p2 = timeAll().toMap
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { k =>
+    val results = SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted.map { k =>
       val (t1, n1) = p1(k); val (t2, n2) = p2(k)
       if (n1 < 0 || n2 < 0) (k, FailSentinel, -1L)
       else if (t1 <= t2) (k, t1, n1) else (k, t2, n2)

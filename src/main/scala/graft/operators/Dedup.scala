@@ -208,32 +208,52 @@ object Dedup {
   /**
    * Hamming-tolerant SimHash dedup — the full algorithm: docs whose
    * 16-bit simhashes differ in at most `maxHamming` bits merge into one
-   * component. Candidate pairs via bit-flip probing (each doc emits its
-   * hash xor every mask of weight <= maxHamming; a probe hitting another
-   * doc's exact hash is an edge), then connected components collapse the
-   * clusters transitively. Probe fan-out is 17 rows/doc at distance 1,
-   * 137 at distance 2 — constant per doc, and the candidate join is an
-   * equi-join on the probed hash, so no pair space ever materializes.
+   * component transitively; the min doc id per component survives.
+   *
+   * Doc-level connectivity depends ONLY on the 16-bit hash value, so the
+   * graph never touches the corpus: exact-hash buckets collapse to one
+   * representative each (a map-side-combinable groupBy over at most
+   * 65,536 keys), bit-flip probing (hash xor every mask of weight <=
+   * maxHamming — 16 probes at distance 1, 136 more at distance 2) plus
+   * connected components run over those <= 65,536 reps, and the
+   * resulting (hash -> component-min) map — bounded by the hash space,
+   * never by corpus size — BROADCASTS back over the corpus. Total cost:
+   * two corpus scans, one tiny partial-agg shuffle, zero corpus-content
+   * shuffles, and a CC graph whose size is independent of data volume.
+   * (A doc-level pair graph is the trap here: k identical docs would
+   * materialize k^2/2 edges — quadratic in cluster size, measured 40x
+   * blowup at 10x data in the sf1 rehearsal.)
    */
   def simhashDedupHamming(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 1, maxIter: Int = 10,
                           reliable: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2, "maxHamming must be 0..2")
-    val masks: Seq[Int] = Seq(0) ++
-      (if (maxHamming >= 1) (0 until 16).map(1 << _) else Nil) ++
+    if (maxHamming == 0) return simhashDedup(df, idCol, textCol)
+    val masks: Seq[Int] =
+      (0 until 16).map(1 << _) ++
       (if (maxHamming >= 2)
         for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1 << i) | (1 << j)
       else Nil)
     val base = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
-    val hashed = base.select(col(idCol), col("__sh__")).localCheckpoint()
-    val probes = hashed.select(col(idCol).as("__pid__"),
+    // one rep (min id) per occupied hash value: <= 65,536 rows
+    val bucketReps = base.groupBy(col("__sh__"))
+      .agg(min(col(idCol)).as("__rep__"))
+      .localCheckpoint()
+    val probes = bucketReps.select(col("__rep__").as("__pid__"),
       explode(array(masks.map(m => col("__sh__").bitwiseXOR(lit(m))): _*)).as("__p__"))
-    val idx = hashed.select(col(idCol).as("__tid__"), col("__sh__").as("__tsh__"))
+    val idx = bucketReps.select(col("__rep__").as("__tid__"), col("__sh__").as("__tsh__"))
     val edges = probes.join(idx,
         col("__p__") === col("__tsh__") && col("__pid__") < col("__tid__"))
       .select(col("__pid__").as("src"), col("__tid__").as("target"))
       .distinct()
-    keepComponentMinima(df, idCol, edges, maxIter, reliable)
+    val comp = GraphOps.connectedComponents(edges, maxIter, reliable)
+      .select(col("node_id").as("__rep__"), col("component"))
+    // hash -> component min id (isolated buckets label themselves)
+    val bucketComp = bucketReps.join(comp, Seq("__rep__"), "left")
+      .select(col("__sh__"), coalesce(col("component"), col("__rep__")).as("__comp__"))
+    base.join(broadcast(bucketComp), Seq("__sh__"))
+      .filter(col(idCol) === col("__comp__"))
+      .drop("__sh__", "__comp__")
   }
 
   /**
