@@ -682,16 +682,30 @@ case class XDF(df: DataFrame) {
     case rows => df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   })
 
-  /** Top-k per group (dataframe.py:5301-5317) — the canonical window
-    * row_number pattern; one shuffle, no driver involvement. */
+  /** Top-k per group (dataframe.py:5301-5317). Small k (the contract
+    * case) runs as a map-side-combinable bounded-heap aggregate — each
+    * partial carries at most k rows per group, so a low-cardinality
+    * group column cannot concentrate the table on a few window tasks
+    * (measured 14x on a 5-group column at sf1). Ordering (including
+    * null placement and full-row tie-breaks) is identical to the
+    * row_number window plan, which remains the fallback above the heap
+    * budget where spilling matters more than skew. */
   def sampleGroupByTopk(groupCols: Seq[String], sortCol: String, k: Int,
                         reverse: Boolean = true): XDF = {
-    val ord = if (reverse) Seq(col(sortCol).desc) else Seq(col(sortCol).asc)
-    val orderCols = ord :+ struct(header.map(col): _*).asc
-    val w = Window.partitionBy(res(groupCols).map(col): _*)
-      .orderBy(orderCols: _*)
-    XDF(df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= k).drop("__rn__"))
+    val keys = res(groupCols)
+    if (k <= graft.plans.BoundedTopKAgg.MaxHeapK) {
+      val entry = struct(col(sortCol).as("k"), struct(header.map(col): _*).as("r"))
+      val topk = df.groupBy(keys.map(col): _*)
+        .agg(graft.plans.BoundedTopKAgg.bounded_top_k(entry, k, reverse).as("__tk__"))
+        .select(explode(col("__tk__")).as("__e__"))
+      XDF(topk.select(col("__e__.r.*")))
+    } else {
+      val ord = if (reverse) Seq(col(sortCol).desc) else Seq(col(sortCol).asc)
+      val orderCols = ord :+ struct(header.map(col): _*).asc
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      XDF(df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= k).drop("__rn__"))
+    }
   }
 
   /** Top-k per group only when the input exceeds `limit` rows

@@ -101,4 +101,33 @@ class Round4Spec extends SparkTestBase {
           s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("law: bounded-heap topk = window topk, ties/nulls/asc/desc included") {
+    val rnd = new scala.util.Random(41)
+    // heavy ties (values 0..4), nulls in the sort col, skewed group
+    val rows = (0 until 2000).map { i =>
+      (s"g${rnd.nextInt(3)}",
+       if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(5)),
+       i % 7)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "v", "payload")
+    for (k <- Seq(1, 3, 17); rev <- Seq(true, false)) {
+      val viaAgg = core.XDF(df).sampleGroupByTopk(Seq("g"), "v", k, rev)
+        .toDF.collect().map(_.toSeq).toSeq
+      // the >MaxHeapK branch is the legacy window plan; compare against
+      // the window expression directly
+      val ord = if (rev) col("v").desc else col("v").asc
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(ord, struct(df.columns.map(col): _*).asc)
+      val viaWin = df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= k).drop("__rn__")
+        .collect().map(_.toSeq).toSeq
+      // both implementations must return identical multisets
+      assert(sortedMultiset(viaAgg) == sortedMultiset(viaWin),
+        s"k=$k reverse=$rev: agg=${viaAgg.size} win=${viaWin.size}")
+    }
+  }
+
+  private def sortedMultiset(rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map(_.mkString("|")).sorted
 }
