@@ -203,8 +203,15 @@ object GraphOps {
     var prev: DataFrame = null // superseded label frame, released each round
     var i = 0
     var changed = 1L
+    // delta propagation: only labels lowered LAST round can lower a
+    // neighbor this round — a stable neighbor's label was already folded
+    // into v's min when it last changed (round 1 seeds with everyone).
+    // The changed set collapses geometrically, so later rounds' edge
+    // joins build against a frame AQE promotes to broadcast: the edge
+    // list is scanned, never re-shuffled, once the frontier is small.
+    var changedSet = labels0
     while (i < maxIter && changed > 0) {
-      val nbrMin = sym.join(labels.select(col("node_id").as("b"), col("component")),
+      val nbrMin = sym.join(changedSet.select(col("node_id").as("b"), col("component")),
           Seq("b"), "inner")
         .groupBy(col("a").as("node_id"))
         .agg(min(col("component")).as("__nbr_min__"))
@@ -239,6 +246,7 @@ object GraphOps {
       // the final allowed iteration skips the fixpoint probe (its result
       // could not trigger another round anyway)
       changed = if (i + 1 < maxIter) next.filter(col("__chg__")).count() else 0L
+      changedSet = next.filter(col("__chg__")).select(col("node_id"), col("component"))
       labels = next.drop("__chg__")
       i += 1
     }
