@@ -168,8 +168,17 @@ object TextOps {
   /** 16-bit SimHash from word-level md5s, as an integer 0..65535.
     * Bit j of the simhash = majority vote of bit j across token hashes.
     * Uses the first 4 hex chars of md5 (16 bits) — portable to any
-    * engine with md5 + integer ops. */
+    * engine with md5 + integer ops. Native Catalyst expression: the
+    * lambda form below evaluates interpreted (HOFs never enter
+    * whole-stage codegen) and walks the hash array 16 times — it
+    * dominated every simhash-family query at sf1. */
   def simhash16(text: Column): Column =
+    graft.plans.Simhash16Expression.simhash16(text)
+
+  /** The original higher-order-function formulation; retained as the
+    * independent reference for the equivalence law spec (Round4Spec:
+    * native == HOF on adversarial whitespace/unicode inputs). */
+  private[graft] def simhash16Hof(text: Column): Column =
     // md5 each distinct token ONCE into a 16-bit int; the 16 bit-vote
     // aggregates then run over plain integers. The naive form re-derived
     // toks AND re-hashed every token inside each of the 16 aggregates.

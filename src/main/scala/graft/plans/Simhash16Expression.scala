@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native 16-bit SimHash over whitespace tokens — scalar replacement for
+ * the higher-order-function composition in TextOps.simhash16
+ * (`transform(array_distinct(split))` + 16 `aggregate` bit-votes).
+ * Spark evaluates lambda-bearing expressions on the interpreted path,
+ * outside whole-stage codegen, and the HOF form walks the token-hash
+ * array 16 times: measured ~10s for a 50k-doc corpus at sf1, which
+ * dominated every simhash-family query. This expression is one pass of
+ * primitive arithmetic per document and participates in codegen via a
+ * static call: same corpus hashes in well under a second.
+ *
+ * Bit-for-bit identical to the HOF form (equivalence law in
+ * Round4Spec): Java-regex `\s+` split with limit -1 (leading/trailing
+ * empty tokens kept exactly as Spark's `split`), first-occurrence
+ * distinct, md5's first two bytes as the 16-bit token hash, strict
+ * majority vote per bit.
+ */
+case class Simhash16Expression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires STRING, got ${child.dataType.sql}")
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash16Expression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.Simhash16Expression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16Expression =
+    copy(child = newChild)
+}
+
+object Simhash16Expression {
+  import org.apache.spark.sql.graft.bridge
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  // MessageDigest is not thread-safe; one per task thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit simhash of `s` (static so codegen can call it directly). */
+  def compute(s: UTF8String): Int = {
+    // limit -1 keeps leading/trailing empty tokens, matching Spark's
+    // split(text, "\\s+") exactly
+    val toks = ws.split(s.toString, -1)
+    val seen = new java.util.HashSet[String](Math.max(16, toks.length * 2))
+    val votes = new Array[Int](16)
+    var n = 0
+    val digest = md5.get()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        n += 1
+        digest.reset()
+        val d = digest.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first four hex chars = first two bytes, big-endian
+        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          votes(b) += (h >>> b) & 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0
+    var b = 0
+    while (b < 16) {
+      if (votes(b) * 2 > n) out |= 1 << b
+      b += 1
+    }
+    out
+  }
+
+  def simhash16(c: Column): Column =
+    bridge.toColumn(Simhash16Expression(bridge.toExpression(c)))
+}

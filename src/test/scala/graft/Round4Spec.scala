@@ -130,4 +130,30 @@ class Round4Spec extends SparkTestBase {
 
   private def sortedMultiset(rows: Seq[Seq[Any]]): Seq[String] =
     rows.map(_.mkString("|")).sorted
+
+  test("law: native simhash16 == HOF simhash16, adversarial inputs included") {
+    import graft.functions.TextOps
+    val fixtures = Seq(
+      "", " ", "  ", "a", " a", "a ", " a b  c\t d \n e ",
+      "same same same different",
+      "unicode nbsp stays one token", //   is not \s in Java regex
+      "tabs\tand\nnewlines\rmix", "x " * 500, // long with trailing space
+      (1 to 300).map(i => s"tok$i").mkString(" "))
+    val rnd = new scala.util.Random(7)
+    val rand = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(50)}").mkString(" "))
+    val df = spark.createDataFrame(
+      (fixtures ++ rand).zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("id", "text")
+    val both = df.select(
+      TextOps.simhash16(org.apache.spark.sql.functions.col("text")).as("native"),
+      TextOps.simhash16Hof(org.apache.spark.sql.functions.col("text")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+    // null propagates
+    val n = df.selectExpr("CAST(NULL AS STRING) AS t")
+      .select(TextOps.simhash16(org.apache.spark.sql.functions.col("t")))
+      .head()
+    assert(n.isNullAt(0))
+  }
 }
