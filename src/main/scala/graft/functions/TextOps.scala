@@ -152,6 +152,11 @@ object TextOps {
     * naive form re-ran `split` inside the window lambda, O(tokens^2) per
     * doc (measured 10x slower on the documents corpus). */
   def wordShingles(text: Column, n: Int): Column =
+    graft.plans.WordShinglesExpression.word_shingles(text, n)
+
+  /** The original higher-order-function formulation; retained as the
+    * independent reference for the equivalence law (Round4Spec). */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column =
     letOnce(tokens(text)) { toks =>
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),

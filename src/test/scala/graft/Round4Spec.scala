@@ -156,4 +156,31 @@ class Round4Spec extends SparkTestBase {
       .head()
     assert(n.isNullAt(0))
   }
+
+  test("law: native wordShingles == HOF wordShingles, n=1..6") {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions.col
+    val fixtures = Seq(
+      "", " ", "one", "one two", "a b c d e f g", " lead", "trail ",
+      "tabs\tand\nnewlines mix d e f", "x " * 100,
+      (1 to 50).map(i => s"w${i % 9}").mkString(" "))
+    val rnd = new scala.util.Random(11)
+    val rand = (0 until 100).map(_ =>
+      (0 until rnd.nextInt(20)).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+    val df = spark.createDataFrame(
+      (fixtures ++ rand).zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("id", "text")
+    for (n <- 1 to 6) {
+      val rows = df.select(
+        TextOps.wordShingles(col("text"), n).as("native"),
+        TextOps.wordShinglesHof(col("text"), n).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n: ${r.getSeq[String](0)} != ${r.getSeq[String](1)}")
+      }
+    }
+    val nullRow = df.selectExpr("CAST(NULL AS STRING) AS t")
+      .select(TextOps.wordShingles(col("t"), 3)).head()
+    assert(nullRow.isNullAt(0))
+  }
 }
