@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextOps
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Similarity}
 import graft.core.XDF
 
 /**
@@ -94,6 +94,11 @@ object TrainingQueries {
         .withColumn("mean_tok_len", round(TextOps.meanTokenLength(col("text")), 4))
         .select("doc_id", "n_tok", "n_bpe", "mean_tok_len")
         .orderBy("doc_id")),
+
+    "q_text_chunk" -> ((s, dir) =>
+      Packing.chunkByTokens(docs(s, dir), "text", 50)
+        .select("doc_id", "chunk_index", "chunk_text")
+        .orderBy("doc_id", "chunk_index")),
 
     "q_text_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -306,6 +311,13 @@ object TrainingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, i AS chunk_index,
+                 array_to_string(toks[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text
+          FROM t, UNNEST(range((len(toks) + 49) // 50)) AS u(i)
+          ORDER BY doc_id, chunk_index""",
+
     "q_text_token_count" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
           SELECT doc_id, len(toks) AS n_tok,

@@ -183,4 +183,47 @@ class Round4Spec extends SparkTestBase {
       .select(TextOps.wordShingles(col("t"), 3)).head()
     assert(nullRow.isNullAt(0))
   }
+
+  test("law: packGreedy bins respect capacity; oversized docs isolate") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docsDf = (0 until 5000).map { i =>
+      // mixed sizes incl. over-capacity outliers
+      (i.toLong, if (i % 97 == 0) 1500L else 1L + rnd.nextInt(400))
+    }.toDF("doc_id", "n_tok")
+    val packed = Packing.packGreedy(docsDf, "n_tok", capacity = 1024L,
+      orderCols = Seq("n_tok", "doc_id"))
+    assert(packed.count() == 5000) // packing never drops or duplicates
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tok").as("total"), count(lit(1)).as("n"))
+      .collect()
+    // every bin fits the budget, except singleton bins holding one
+    // over-capacity document
+    bins.foreach { b =>
+      val ok = b.getAs[Long]("total") <= 1024L || b.getAs[Long]("n") == 1L
+      assert(ok, s"bin over capacity: $b")
+    }
+    // greedy locality: utilization beats half-full (the worst greedy
+    // can do when no single doc exceeds half the capacity)
+    val multi = bins.filter(_.getAs[Long]("n") > 1)
+    val meanFill = multi.map(_.getAs[Long]("total")).sum.toDouble / multi.length
+    assert(meanFill > 512.0, s"mean fill $meanFill suspiciously low")
+  }
+
+  test("chunkByTokens: exact windows, short docs, null text") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "x"), (3L, null.asInstanceOf[String]),
+      (4L, (1 to 7).map("t" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(df, "text", 3)
+      .select("doc_id", "chunk_index", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 0L, "a b c"), (1L, 1L, "d e"),
+      (2L, 0L, "x"),
+      (4L, 0L, "t1 t2 t3"), (4L, 1L, "t4 t5 t6"), (4L, 2L, "t7")))
+  }
 }
