@@ -14,10 +14,14 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        // a windowspecdefinition whose FIRST element is already a sort
+        // order has no partition columns -> single-task WindowExec
+        val unpartWin = raw"windowspecdefinition\([^(,]+ (ASC|DESC)".r
+          .findFirstIn(plan).isDefined
         val flags = Seq(
           "CARTESIAN" -> plan.contains("CartesianProduct"),
           "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-          "GLOBALWIN" -> plan.contains("Window ["),
+          "UNPART_WIN" -> unpartWin,
         ).collect { case (f, true) => f }
         val nEx = "Exchange".r.findAllIn(plan).length
         println(f"[audit] $name%-28s exchanges=$nEx%2d ${flags.mkString(",")}")

@@ -616,11 +616,10 @@ case class XDF(df: DataFrame) {
     val (ln, rn) = (df.count(), other.df.count())
     require(ln == rn, s"concatAsCols row-count mismatch: $ln vs $rn")
     // "-col" prefix = descending
-    def withId(d: DataFrame, oc: Seq[String]) =
-      d.withColumn("__zip_id__", row_number().over(Window.orderBy(oc.map(c =>
-        if (c.startsWith("-")) col(c.substring(1)).desc else col(c).asc): _*)))
-    val l = withId(df, orderCols)
-    val r = withId(other.df, otherOrderCols)
+    def sortExprs(oc: Seq[String]) = oc.map(c =>
+      if (c.startsWith("-")) col(c.substring(1)).desc else col(c).asc)
+    val l = XDF.globalOrdinal(df, sortExprs(orderCols), "__zip_id__")
+    val r = XDF.globalOrdinal(other.df, sortExprs(otherOrderCols), "__zip_id__")
     XDF(l.join(r, Seq("__zip_id__"), "inner").drop("__zip_id__"))
   }
 
@@ -851,6 +850,40 @@ case class XDF(df: DataFrame) {
 }
 
 object XDF {
+
+  /**
+   * Distributed 1-based global ordinal in `sortExprs` order — the
+   * scale-safe replacement for `row_number().over(Window.orderBy(...))`,
+   * which moves the whole table to ONE task. Range-partition + local
+   * sort gives a partition-major total order; within a partition,
+   * `monotonically_increasing_id` encodes the local position in its low
+   * 33 bits by construction, and per-partition offsets (one count row
+   * per partition, driver-side cumsum) lift positions to global ranks.
+   * No single-task stage anywhere; ties across partitions land in the
+   * same range partition, so tie ordering is no weaker than the global
+   * window's. Determinism note: the frame is evaluated by two jobs
+   * (counts + output) over the SAME physical plan, so the range
+   * sampler's partition boundaries are identical in both.
+   */
+  private[graft] def globalOrdinal(d: DataFrame, sortExprs: Seq[Column],
+                                   outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranged = d.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn("__mid__", monotonically_increasing_id())
+      .withColumn("__pid__", (col("__mid__") / lit(1L << 33)).cast("int"))
+      .withColumn("__pos__", col("__mid__") % lit(1L << 33))
+    val counts = ranged.groupBy(col("__pid__")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
+    val offExpr =
+      if (pids.isEmpty) lit(0L)
+      else element_at(
+        map(pids.flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid__"))
+    ranged.withColumn(outCol, offExpr + col("__pos__") + lit(1L))
+      .drop("__mid__", "__pid__", "__pos__")
+  }
   def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
 
   /** List-of-maps -> DF with union-of-keys schema, "" for missing

@@ -184,6 +184,28 @@ class Round4Spec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("law: concatAsCols zip equals sort order; no unpartitioned window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = rnd.shuffle((0 until 5000).toList).map(i => (i, s"L$i"))
+      .toDF("k", "lv")
+    val right = rnd.shuffle((0 until 5000).toList).map(i => (i, s"R${9999 - i}"))
+      .toDF("j", "rv")
+    val zipped = core.XDF(left).concatAsCols(core.XDF(right),
+      Seq("k"), Seq("-j")).toDF
+    assert(zipped.count() == 5000)
+    // k ascending zips against j descending: k=i pairs with j=9999-i... j
+    // descending means largest j first, so k=0 pairs with j=4999
+    val rows = zipped.select("k", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    (0 until 5000).foreach(i => assert(rows(i) == 4999 - i, s"k=$i -> ${rows(i)}"))
+    // scale shape: the ordinal must not be a single-task global window
+    val plan = core.XDF(left).concatAsCols(core.XDF(right), Seq("k"), Seq("j"))
+      .toDF.queryExecution.executedPlan.toString
+    assert(!raw"windowspecdefinition\([^(,]+ (ASC|DESC)".r
+      .findFirstIn(plan).isDefined, "unpartitioned window in concatAsCols plan")
+  }
+
   test("law: packGreedy bins respect capacity; oversized docs isolate") {
     import graft.operators.Packing
     import spark.implicits._
