@@ -141,13 +141,13 @@ case class XDF(df: DataFrame) {
   def assignValue(name: String, value: Any): XDF = XDF(df.withColumn(name, lit(value)))
 
   /** 1-based sequence number, prepended (dataframe.py:1707-1729).
-    * Ordered by `orderCols` to be deterministic under parallelism; a
-    * single unpartitioned window — use only where the reference's global
-    * row numbering is genuinely wanted. */
-  def addSeqNum(name: String = "sno", orderCols: Seq[String]): XDF = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    XDF(df.withColumn(name, row_number().over(w))).reorder(name)
-  }
+    * Ordered by `orderCols` to be deterministic under parallelism;
+    * computed as a distributed global ordinal (range partition + local
+    * positions + per-partition offsets, XDF.globalOrdinal) — no
+    * single-task window. */
+  def addSeqNum(name: String = "sno", orderCols: Seq[String]): XDF =
+    XDF(XDF.globalOrdinal(df, orderCols.map(col), name)
+      .withColumn(name, col(name).cast("int"))).reorder(name)
 
   /** Append one row given as a column->value map (dataframe.py:2530-2560
     * add_map_as_row): missing columns take `defaultVal`; a missing column
