@@ -243,9 +243,12 @@ object GraphOps {
       hopped.unpersist(false)
       if (prev != null) release(prev)
       prev = if (labels eq labels0) null else labels // labels0 never returned early, but keep release simple
-      // the final allowed iteration skips the fixpoint probe (its result
-      // could not trigger another round anyway)
-      changed = if (i + 1 < maxIter) next.filter(col("__chg__")).count() else 0L
+      // the probe runs every round, including the last allowed one: a
+      // loop that exits at maxIter while labels are still moving has
+      // NON-MINIMAL labels — components silently split. Throw instead
+      // (same contract as ancestorClosure); the probe is one count over
+      // the already-checkpointed frame.
+      changed = next.filter(col("__chg__")).count()
       changedSet = next.filter(col("__chg__")).select(col("node_id"), col("component"))
       labels = next.drop("__chg__")
       i += 1
@@ -253,6 +256,11 @@ object GraphOps {
     release(sym)
     if (prev != null) release(prev)
     if (!(labels eq labels0)) release(labels0)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter too deep for the doubling budget); raise " +
+          "maxIter — non-minimal labels would silently split components")
     labels
   }
 

@@ -206,6 +206,20 @@ class Round4Spec extends SparkTestBase {
       .findFirstIn(plan).isDefined, "unpartitioned window in concatAsCols plan")
   }
 
+  test("connectedComponents throws at maxIter instead of splitting components") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    // 40-edge chain needs ~6 doubling rounds; 2 is not enough
+    val chain = (0 until 40).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "target")
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chain, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with budget it converges to one component
+    assert(GraphOps.connectedComponents(chain, maxIter = 10)
+      .select("component").distinct().count() == 1L)
+  }
+
   test("law: packGreedy bins respect capacity; oversized docs isolate") {
     import graft.operators.Packing
     import spark.implicits._
