@@ -126,6 +126,10 @@ object GraphOps {
       e = pruned
       i += 1
     }
+    if (!done)
+      graft.core.Log.warn(s"removeDanglingEdges stopped at maxIter=$maxIter " +
+        "without reaching a fixpoint; some dangling chains may remain — " +
+        "raise maxIter for deep prune cascades")
     e
   }
 
