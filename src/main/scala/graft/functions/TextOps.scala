@@ -166,9 +166,13 @@ object TextOps {
   /** Document fingerprint: lexicographic min of md5 over word shingles —
     * a winnowing-style content fingerprint stable under reordering of
     * everything except the minimal shingle. md5-hex keeps it engine-
-    * portable (identical in any SQL engine). */
+    * portable (identical in any SQL engine). Native one-pass expression;
+    * the HOF form below is the law-spec reference. */
   def fingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(wordShingles(text, n), s => md5(s)))
+    graft.plans.FingerprintExpression.doc_fingerprint(text, n)
+
+  private[graft] def fingerprintHof(text: Column, n: Int = 5): Column =
+    array_min(transform(wordShinglesHof(text, n), s => md5(s)))
 
   /** 16-bit SimHash from word-level md5s, as an integer 0..65535.
     * Bit j of the simhash = majority vote of bit j across token hashes.

@@ -206,6 +206,23 @@ class Round4Spec extends SparkTestBase {
       .findFirstIn(plan).isDefined, "unpartitioned window in concatAsCols plan")
   }
 
+  test("law: native fingerprint == HOF fingerprint, n=1..6") {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val docs = Seq("", " ", "single", "a b c d e f", "trail ", " lead") ++
+      (0 until 150).map(_ =>
+        (0 until rnd.nextInt(25)).map(_ => s"v${rnd.nextInt(20)}").mkString(" "))
+    val df = spark.createDataFrame(
+      docs.zipWithIndex.map { case (t, i) => (i, t) }).toDF("id", "text")
+    for (n <- Seq(1, 3, 5, 6)) {
+      df.select(TextOps.fingerprint(col("text"), n).as("a"),
+          TextOps.fingerprintHof(col("text"), n).as("b"))
+        .collect()
+        .foreach(r => assert(r.getString(0) == r.getString(1), s"n=$n: $r"))
+    }
+  }
+
   test("connectedComponents throws at maxIter instead of splitting components") {
     import graft.operators.GraphOps
     import spark.implicits._
