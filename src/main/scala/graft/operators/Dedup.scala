@@ -34,10 +34,17 @@ object Dedup {
   /**
    * MinHash signature column: array of `numHashes` hex minima.
    * hash_i(shingle) = md5(i || ':' || shingle); signature[i] = lexicographic
-   * min over shingles. Pure expressions — no UDF, no driver state.
+   * min over shingles. Native one-pass expression — the HOF form digested
+   * every shingle once per lane through interpreted lambdas.
    */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
-    TextOps.letOnce(TextOps.wordShingles(text, shingleSize)) { shingles =>
+    graft.plans.MinhashSignatureExpression
+      .minhash_signature(text, shingleSize, numHashes)
+
+  /** HOF formulation kept as the law-spec reference (Round4Spec). */
+  private[graft] def minhashSignatureHof(text: Column, shingleSize: Int,
+                                         numHashes: Int): Column =
+    TextOps.letOnce(TextOps.wordShinglesHof(text, shingleSize)) { shingles =>
       array((0 until numHashes).map { i =>
         array_min(transform(shingles, s => md5(concat(lit(i + ":"), s))))
       }: _*)

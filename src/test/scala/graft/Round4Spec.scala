@@ -223,6 +223,21 @@ class Round4Spec extends SparkTestBase {
     }
   }
 
+  test("law: native minhash signature == HOF signature") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val docs = Seq("", "one", "a b c d e f g h") ++
+      (0 until 120).map(_ =>
+        (0 until rnd.nextInt(25)).map(_ => s"m${rnd.nextInt(15)}").mkString(" "))
+    val df = spark.createDataFrame(
+      docs.zipWithIndex.map { case (t, i) => (i, t) }).toDF("id", "text")
+    df.select(Dedup.minhashSignature(col("text"), 3, 6).as("a"),
+        Dedup.minhashSignatureHof(col("text"), 3, 6).as("b"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r"))
+  }
+
   test("connectedComponents throws at maxIter instead of splitting components") {
     import graft.operators.GraphOps
     import spark.implicits._
