@@ -57,11 +57,9 @@ object Sampling {
     val copies = draws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
     import spark.implicits._
     val picks = broadcast(copies.toDF("__idx__", "__copies__"))
-    val schema = df.schema
-    val numbered = spark.createDataFrame(
-      df.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-      schema.add("__idx__", LongType))
+    // scan-order ordinal (Tungsten-native zipWithIndex): same row<->index
+    // mapping as file order, no RDD hop, no shuffle
+    val numbered = XDF.scanOrdinal(df, "__idx__")
     numbered.join(picks, Seq("__idx__"))
       .withColumn("__rep__", explode(sequence(lit(1L), col("__copies__"))))
       .drop("__idx__", "__copies__", "__rep__")

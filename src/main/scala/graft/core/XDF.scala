@@ -866,14 +866,26 @@ object XDF {
    * sampler's partition boundaries are identical in both.
    */
   private[graft] def globalOrdinal(d: DataFrame, sortExprs: Seq[Column],
-                                   outCol: String): DataFrame = {
+                                   outCol: String): DataFrame =
+    scanOrdinal(
+      d.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*),
+      outCol, base = 1L)
+
+  /** Partition-major (scan-order) ordinal without any shuffle or RDD
+    * hop — the Tungsten-native `zipWithIndex`: within a partition
+    * `monotonically_increasing_id` encodes the local position in its
+    * low 33 bits; per-partition counts (one row each, driver cumsum)
+    * lift positions to global ranks. Both evaluating jobs (counts +
+    * output) run over the SAME physical plan, so split enumeration and
+    * partition ids agree. */
+  private[graft] def scanOrdinal(d: DataFrame, outCol: String,
+                                 base: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ranged = d.repartitionByRange(sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
+    val marked = d
       .withColumn("__mid__", monotonically_increasing_id())
       .withColumn("__pid__", (col("__mid__") / lit(1L << 33)).cast("int"))
       .withColumn("__pos__", col("__mid__") % lit(1L << 33))
-    val counts = ranged.groupBy(col("__pid__")).count()
+    val counts = marked.groupBy(col("__pid__")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
@@ -881,7 +893,7 @@ object XDF {
       if (pids.isEmpty) lit(0L)
       else element_at(
         map(pids.flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid__"))
-    ranged.withColumn(outCol, offExpr + col("__pos__") + lit(1L))
+    marked.withColumn(outCol, offExpr + col("__pos__") + lit(base))
       .drop("__mid__", "__pid__", "__pos__")
   }
   def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
