@@ -875,26 +875,32 @@ object XDF {
     * hop — the Tungsten-native `zipWithIndex`: within a partition
     * `monotonically_increasing_id` encodes the local position in its
     * low 33 bits; per-partition counts (one row each, driver cumsum)
-    * lift positions to global ranks. Both evaluating jobs (counts +
-    * output) run over the SAME physical plan, so split enumeration and
-    * partition ids agree. */
+    * lift positions to global ranks. The marked frame is MATERIALIZED
+    * (localCheckpoint) before the counts job: the counts and output
+    * actions otherwise re-plan independently, and range-partitioner
+    * sampling / AQE coalescing can assign different partition
+    * memberships per action, silently corrupting the offsets. The
+    * offsets join back via a broadcast of the tiny (pid, offset) frame
+    * — map-side, no shuffle, O(1) per-row lookup at any partition
+    * count. */
   private[graft] def scanOrdinal(d: DataFrame, outCol: String,
                                  base: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = d.sparkSession
     val marked = d
       .withColumn("__mid__", monotonically_increasing_id())
-      .withColumn("__pid__", (col("__mid__") / lit(1L << 33)).cast("int"))
-      .withColumn("__pos__", col("__mid__") % lit(1L << 33))
+      .withColumn("__pid__", shiftright(col("__mid__"), 33).cast("int"))
+      .withColumn("__pos__", col("__mid__").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint()
     val counts = marked.groupBy(col("__pid__")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
-    val offExpr =
-      if (pids.isEmpty) lit(0L)
-      else element_at(
-        map(pids.flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid__"))
-    marked.withColumn(outCol, offExpr + col("__pos__") + lit(base))
-      .drop("__mid__", "__pid__", "__pos__")
+    import spark.implicits._
+    val offsetsDf = pids.map(p => (p, offsets(p))).toDF("__pid__", "__off__")
+    marked.join(broadcast(offsetsDf), Seq("__pid__"), "left")
+      .withColumn(outCol, coalesce(col("__off__"), lit(0L)) + col("__pos__") + lit(base))
+      .drop("__mid__", "__pid__", "__pos__", "__off__")
   }
   def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
 

@@ -242,10 +242,11 @@ object Dedup {
         for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1 << i) | (1 << j)
       else Nil)
     val base = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
-    // one rep (min id) per occupied hash value: <= 65,536 rows
-    val bucketReps = base.groupBy(col("__sh__"))
-      .agg(min(col(idCol)).as("__rep__"))
-      .localCheckpoint()
+    // one rep (min id) per occupied hash value: <= 65,536 rows;
+    // checkpointed via chk so reliable=true survives executor loss like
+    // the CC phase it feeds
+    val bucketReps = GraphOps.chk(base.groupBy(col("__sh__"))
+      .agg(min(col(idCol)).as("__rep__")), reliable)
     val probes = bucketReps.select(col("__rep__").as("__pid__"),
       explode(array(masks.map(m => col("__sh__").bitwiseXOR(lit(m))): _*)).as("__p__"))
     val idx = bucketReps.select(col("__rep__").as("__tid__"), col("__sh__").as("__tsh__"))

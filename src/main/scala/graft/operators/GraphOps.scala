@@ -35,7 +35,7 @@ object GraphOps {
    * only forgoes derived-filter inference on frames the loop re-filters
    * anyway.
    */
-  private def chk(df: DataFrame, reliable: Boolean): DataFrame = {
+  private[graft] def chk(df: DataFrame, reliable: Boolean): DataFrame = {
     val conf = df.sparkSession.conf
     val key = "spark.sql.constraintPropagation.enabled"
     val prev = conf.get(key, "true")
@@ -257,10 +257,30 @@ object GraphOps {
       labels = next.drop("__chg__")
       i += 1
     }
+    // the last allowed round may itself have COMPLETED convergence, so
+    // changed > 0 at exhaustion is not yet proof of failure: run one
+    // decoupled probe (would another hop-or-double lower any label?)
+    // and only then throw. Cost: one extra job, only on exhaustion.
+    val unconverged = changed > 0 && {
+      val probeNbr = sym.join(
+          changedSet.select(col("node_id").as("b"), col("component")),
+          Seq("b"), "inner")
+        .groupBy(col("a").as("node_id"))
+        .agg(min(col("component")).as("__nbr_min__"))
+      val hopProbe = labels.join(probeNbr, Seq("node_id"), "left")
+        .select(col("node_id"), col("component"),
+          least(col("component"), coalesce(col("__nbr_min__"), col("component")))
+            .as("__h__"))
+      hopProbe.join(
+          hopProbe.select(col("node_id").as("__h__"), col("__h__").as("__hh__")),
+          Seq("__h__"), "left")
+        .filter(coalesce(col("__hh__"), col("__h__")) < col("component"))
+        .limit(1).count() > 0
+    }
     release(sym)
     if (prev != null) release(prev)
     if (!(labels eq labels0)) release(labels0)
-    if (changed > 0)
+    if (unconverged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter too deep for the doubling budget); raise " +

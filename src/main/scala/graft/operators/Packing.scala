@@ -28,9 +28,12 @@ object Packing {
     require(!df.columns.contains(indexCol) && !df.columns.contains(chunkCol),
       s"output columns $indexCol/$chunkCol must not exist")
     df.withColumn("__toks__", split(col(textCol), "\\s+"))
-      // integer ceil; split never returns an empty array so nc >= 1
-      .withColumn("__nc__",
-        expr(s"(size(__toks__) + ${maxTokens - 1}) div $maxTokens"))
+      // integer ceil; split never returns an empty array so nc >= 1 for
+      // non-null text. The explicit null guard matters under
+      // spark.sql.ansi.enabled=false, where size(null) is -1 (not null)
+      // and sequence(0, -1) would emit bogus [0, -1] chunks per null row
+      .withColumn("__nc__", when(col(textCol).isNotNull,
+        expr(s"(size(__toks__) + ${maxTokens - 1}) div $maxTokens")))
       .withColumn(indexCol, explode(sequence(lit(0L), col("__nc__") - 1)))
       .withColumn(chunkCol, concat_ws(" ",
         slice(col("__toks__"), (col(indexCol) * maxTokens + 1).cast("int"),

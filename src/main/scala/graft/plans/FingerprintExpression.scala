@@ -42,31 +42,13 @@ case class FingerprintExpression(child: Expression, n: Int)
 object FingerprintExpression {
   import org.apache.spark.sql.graft.bridge
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HEX = "0123456789abcdef".toCharArray
-
   def compute(s: UTF8String, n: Int): UTF8String = {
     val shingles = WordShinglesExpression.compute(s, n)
-    val digest = md5.get()
     var best: String = null
     var i = 0
     while (i < shingles.numElements()) {
-      digest.reset()
-      val d = digest.digest(
-        shingles.getUTF8String(i).toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HEX(d(j) & 0xf)
-        j += 1
-      }
-      val h = new String(hex)
+      val h = Md5Kernel.hex32(
+        Md5Kernel.digest().digest(shingles.getUTF8String(i).getBytes))
       if (best == null || h.compareTo(best) < 0) best = h
       i += 1
     }

@@ -48,36 +48,23 @@ case class MinhashSignatureExpression(child: Expression, shingleSize: Int,
 object MinhashSignatureExpression {
   import org.apache.spark.sql.graft.bridge
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HEX = "0123456789abcdef".toCharArray
-
-  private def hex32(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      out(2 * j) = HEX((d(j) >> 4) & 0xf)
-      out(2 * j + 1) = HEX(d(j) & 0xf)
-      j += 1
-    }
-    new String(out)
-  }
-
   def compute(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
     val shingles = WordShinglesExpression.compute(s, shingleSize)
-    val digest = md5.get()
+    // "<lane>:" prefixes encoded once per call, shingle bytes once per
+    // shingle — the digest streams prefix + shingle, never building the
+    // concatenated string (md5(a || b) == md5 of the streamed parts)
+    val prefixes = Array.tabulate(numHashes)(l =>
+      (l + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val mins = new Array[String](numHashes)
     var i = 0
     while (i < shingles.numElements()) {
-      val sh = shingles.getUTF8String(i).toString
+      val shBytes = shingles.getUTF8String(i).getBytes
       var lane = 0
       while (lane < numHashes) {
-        digest.reset()
-        val h = hex32(digest.digest(
-          (lane + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val digest = Md5Kernel.digest()
+        digest.update(prefixes(lane))
+        digest.update(shBytes)
+        val h = Md5Kernel.hex32(digest.digest())
         if (mins(lane) == null || h.compareTo(mins(lane)) < 0) mins(lane) = h
         lane += 1
       }

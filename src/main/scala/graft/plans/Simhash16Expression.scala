@@ -49,12 +49,6 @@ object Simhash16Expression {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  // MessageDigest is not thread-safe; one per task thread
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** 16-bit simhash of `s` (static so codegen can call it directly). */
   def compute(s: UTF8String): Int = {
     // limit -1 keeps leading/trailing empty tokens, matching Spark's
@@ -63,14 +57,13 @@ object Simhash16Expression {
     val seen = new java.util.HashSet[String](Math.max(16, toks.length * 2))
     val votes = new Array[Int](16)
     var n = 0
-    val digest = md5.get()
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (seen.add(t)) {
         n += 1
-        digest.reset()
-        val d = digest.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = Md5Kernel.digest()
+          .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // first four hex chars = first two bytes, big-endian
         val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
         var b = 0

@@ -78,18 +78,28 @@ object SplunkClient {
                  startTime: String, endTime: String = "now",
                  limit: Option[Long] = None, numParOnLimit: Int = 0,
                  includeInternalFields: Boolean = false): DataFrame = {
+    // slicing needs numeric endpoints; Splunk-native relative times
+    // ("-24h", "@d") pass through to the search verbatim but cannot be
+    // sliced — degrade to the reference's num_par_on_limit=0 behavior
+    // (warn + partial) instead of throwing after a wasted search
+    val endpoints: Option[(Long, Long)] =
+      if (numParOnLimit > 1)
+        try Some((SearchProto.parseEpochSec(startTime),
+          SearchProto.parseEpochSec(endTime)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    def canSplit(c: Long) = splitNeeded(c, limit, numParOnLimit) && endpoints.isDefined
     val (count, rowsOrErr) = submitCountAndFetch(cfg, query, startTime, endTime,
-      includeInternalFields, fetchRows = !splitNeeded(_, limit, numParOnLimit))
+      includeInternalFields, fetchRows = !canSplit(_))
     rowsOrErr match {
       case Left(err) =>
         SearchProto.errorFrame(spark, startTime, endTime, err)
-      case Right(_) if splitNeeded(count, limit, numParOnLimit) =>
+      case Right(_) if canSplit(count) =>
         // limit hit: equal time slots, executed one per task on the
         // cluster (reference splunk_ext.py:279-305 runs them serially
         // on the driver's thread)
-        val slots = SearchProto.splitSlots(
-          SearchProto.parseEpochSec(startTime), SearchProto.parseEpochSec(endTime),
-          numParOnLimit)
+        val Some((st0, et0)) = endpoints
+        val slots = SearchProto.splitSlots(st0, et0, numParOnLimit)
         val maps = spark.createDataset(slots)(
             org.apache.spark.sql.Encoders.product[(Long, Long)])
           .repartition(slots.length)
@@ -110,7 +120,12 @@ object SplunkClient {
             }
           }(org.apache.spark.sql.Encoders.kryo[Map[String, String]])
         SearchProto.mapsToDf(maps)
-      case Right(rows) => graft.core.XDF.fromMaps(spark, rows).toDF
+      case Right(rows) =>
+        if (limit.exists(count >= _))
+          graft.core.Log.warn(s"SplunkClient: limit reached ($count rows) " +
+            "and the time range was not sliced (numParOnLimit <= 1 or " +
+            "non-numeric relative times); results are partial")
+        graft.core.XDF.fromMaps(spark, rows).toDF
     }
   }
 

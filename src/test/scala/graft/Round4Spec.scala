@@ -250,6 +250,31 @@ class Round4Spec extends SparkTestBase {
     // and with budget it converges to one component
     assert(GraphOps.connectedComponents(chain, maxIter = 10)
       .select("component").distinct().count() == 1L)
+    // boundary: the MINIMAL sufficient budget must succeed (a graph
+    // whose final allowed round completes convergence is converged —
+    // the post-loop probe, not round exhaustion, decides)
+    val minIter = (1 to 10).find { m =>
+      try { GraphOps.connectedComponents(chain, maxIter = m).count(); true }
+      catch { case _: IllegalStateException => false }
+    }.get
+    assert(GraphOps.connectedComponents(chain, maxIter = minIter)
+      .select("component").distinct().count() == 1L)
+    assert(minIter > 2)
+  }
+
+  test("chunkByTokens: null text emits no chunks even with ANSI off") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val out = Packing.chunkByTokens(df, "text", 2)
+        .select("doc_id", "chunk_index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 0L), (1L, 1L)), s"got $out")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
   test("law: packGreedy bins respect capacity; oversized docs isolate") {

@@ -33,10 +33,14 @@ class SearchClientsSpec extends SparkTestBase {
     }.toMap
 
   /** rows for a slot: distinct ids so the union is checkable; full range
-    * reports 250 (over limit), each quarter slot 40 */
-  private def slotRows(earliest: Long, latest: Long): Seq[Long] =
+    * reports 250 (over limit), each quarter slot 40. Non-numeric
+    * (Splunk-relative) time strings parse as 0 — narrow range. */
+  private def slotRows(e: String, l: String): Seq[Long] = {
+    val earliest = e.toLongOption.getOrElse(0L)
+    val latest = l.toLongOption.getOrElse(0L)
     if (latest - earliest >= 1000) (0L until 250L)
     else (0L until 40L).map(i => earliest * 1000 + i)
+  }
 
   override def beforeAll(): Unit = {
     super.beforeAll()
@@ -61,7 +65,7 @@ class SearchClientsSpec extends SparkTestBase {
             val params = formParams(q.replace("&", "&")) // count/offset
             val count = params("count").toInt
             val offset = params("offset").toInt
-            val ids = slotRows(e.toLong, l.toLong).slice(offset, offset + count)
+            val ids = slotRows(e, l).slice(offset, offset + count)
             // one internal field to drop, one :: field, _time kept, a list
             val rows = ids.map(i =>
               s"""{"id":"$i","host":"h${i % 3}","_time":"t$i","_raw":"secret",""" +
@@ -72,7 +76,7 @@ class SearchClientsSpec extends SparkTestBase {
             val n = polls.updateWith(sid) { c => Some(c.getOrElse(0) + 1) }.get
             val (_, e, l) = submits(sid)
             val done = n >= 2 // force one not-done poll cycle
-            val total = slotRows(e.toLong, l.toLong).size
+            val total = slotRows(e, l).size
             respond(ex, 200,
               s"""{"entry":[{"content":{"isDone":"${if (done) "1" else "0"}",""" +
               s""""dispatchState":"RUNNING","resultCount":$total}}]}""")
@@ -164,6 +168,18 @@ class SearchClientsSpec extends SparkTestBase {
       (500L, 750L), (750L, 1000L)), s"got $ranges")
     // slot rows carry distinct id spaces -> the union is a real merge
     assert(df.select("id").distinct().count() == 160)
+  }
+
+  test("splunk: relative-time ranges degrade to unsliced partial, not a throw") {
+    submits.clear(); polls.clear()
+    // 40 rows >= limit 10 and numParOnLimit asks for slicing, but
+    // "-24h"/"now" cannot be sliced -> full unsliced results + warn
+    val df = SplunkClient.callSearch(spark, splunkCfg,
+      """search index="main"""", "-24h", "now",
+      limit = Some(10), numParOnLimit = 4)
+    assert(df.count() == 40)
+    // exactly one search ran (no wasted re-submissions)
+    assert(submits.size == 1)
   }
 
   test("splunk: terminal failure returns the reference error frame, not a throw") {
