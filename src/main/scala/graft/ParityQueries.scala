@@ -128,9 +128,10 @@ object ParityQueries {
     "q_graph_cc" -> ((s, dir) => {
       // chains of 4 consecutive order ranks (edge rank->rank+1 unless
       // rank % 4 == 0); zero-padded ids so lexicographic = numeric order
-      val rn = t(s, dir, "orders").select(col("o_orderkey"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))))
+      // distributed ordinal, not row_number().over(Window.orderBy(...)) —
+      // even a fixture must not funnel the table through one task
+      val rn = graft.core.XDF.globalOrdinal(
+        t(s, dir, "orders").select(col("o_orderkey")), Seq(col("o_orderkey")), "rn")
       val edges = rn.filter(col("rn") % 4 =!= 0)
         .select(lpad(col("rn").cast(StringType), 10, "0").as("src"),
           lpad((col("rn") + 1).cast(StringType), 10, "0").as("target"))

@@ -31,11 +31,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries ++
-      Round2Queries.queries ++ Round4Queries.queries ++ FuzzQueries.queries
+      Round2Queries.queries ++ Round4Queries.queries ++ FuzzQueries.queries ++
+      Round6Queries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql ++
-      Round2Queries.oracleSql ++ Round4Queries.oracleSql ++ FuzzQueries.oracleSql
+      Round2Queries.oracleSql ++ Round4Queries.oracleSql ++ FuzzQueries.oracleSql ++
+      Round6Queries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -205,10 +205,11 @@ object TrainingQueries {
         shingleSize = 3, numHashes = 12, bands = 4)
       val elected = Dedup.electRepresentative(
         clustered, "cluster_id", "n_chars", "doc_id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      elected.withColumn("__rn__", row_number().over(w))
-        .filter(col("__rn__") <= 50)
+      // per-source cap via the bounded-heap top-k operator — the recipe
+      // must not reintroduce the per-group window the library avoids
+      graft.core.XDF(elected)
+        .sampleGroupByTopk(Seq("source"), "doc_id", 50, reverse = false)
+        .toDF
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
     }),

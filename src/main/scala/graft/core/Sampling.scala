@@ -128,15 +128,35 @@ object Sampling {
       require(v > 0, s"max_uniq_values has to be more than 0: $v"))
     defMaxUniq.foreach(v =>
       require(v > 0, s"max_uniq_values has to be more than 0: $v"))
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(md5(portableKeyMaterial(Seq(col(valCol)), seedStr)), col(valCol))
     val capExpr = maxUniqMap.foldLeft(
         when(lit(false), lit(0))) { case (acc, (k, v)) =>
         acc.when(col(classCol).cast(StringType) === k, lit(v))
       }.otherwise(defMaxUniq.map(lit(_)).getOrElse(lit(Int.MaxValue)))
-    df.withColumn("__dr__", dense_rank().over(w))
-      .filter(col("__dr__") <= capExpr)
-      .drop("__dr__")
+    // the deepest rank any finite cap can admit — ranks beyond it never
+    // survive, so the bounded heap only ever needs this many values
+    val kNeeded = (maxUniqMap.values.toSeq ++ defMaxUniq.toSeq)
+      .foldLeft(0)(math.max)
+    if (maxUniqMap.isEmpty && defMaxUniq.isEmpty) df // every cap unlimited
+    else if (kNeeded > graft.plans.BoundedTopKAgg.MaxHeapK) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(md5(portableKeyMaterial(Seq(col(valCol)), seedStr)), col(valCol))
+      df.withColumn("__dr__", dense_rank().over(w))
+        .filter(col("__dr__") <= capExpr)
+        .drop("__dr__")
+    } else {
+      // bounded-heap ranks over the distinct pairs; a row survives iff its
+      // class cap is unlimited (defMaxUniq=None classes) or its value's
+      // rank is within the cap (absent rank = deeper than every cap)
+      val keys = groupCols :+ valCol
+      val ranked = topDistinctValueRanks(df, groupCols, valCol,
+          md5(portableKeyMaterial(Seq(col(valCol)), seedStr)), kNeeded)
+        .toDF(groupCols.map("__k_" + _) ++ Seq("__dr__", s"__k_$valCol"): _*)
+      val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      df.join(ranked, cond, "left")
+        .filter(capExpr === lit(Int.MaxValue) ||
+          coalesce(col("__dr__"), lit(Long.MaxValue)) <= capExpr)
+        .drop(ranked.columns.toSeq: _*)
+    }
   }
 
   /** Exact-n sample in ONE aggregation pass via the native reservoir
@@ -168,13 +188,27 @@ object Sampling {
     df.filter(hashGate(groupCols.map(col), seed, ratio))
 
   /** Cap distinct values of `col` per group — exact variant
-    * (dataframe.py:3081-3142): dense_rank over hashed value within group. */
+    * (dataframe.py:3081-3142). The surviving values are the maxUniq
+    * hash-smallest distinct values per group (identical selection to the
+    * dense_rank window this used to be, minus the all-rows-through-one-
+    * task-per-group shuffle): bounded-heap rank over the DISTINCT pairs,
+    * then a null-safe left-semi join keeps exactly the rows carrying a
+    * surviving value. */
   def sampleGroupByMaxUniqValues(df: DataFrame, groupCols: Seq[String],
                                  valCol: String, maxUniq: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(xxhash64(col(valCol), lit(seed)), col(valCol))
-    df.withColumn("__dr__", dense_rank().over(w))
-      .filter(col("__dr__") <= maxUniq).drop("__dr__")
+    if (maxUniq > graft.plans.BoundedTopKAgg.MaxHeapK) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(xxhash64(col(valCol), lit(seed)), col(valCol))
+      df.withColumn("__dr__", dense_rank().over(w))
+        .filter(col("__dr__") <= maxUniq).drop("__dr__")
+    } else {
+      val keys = groupCols :+ valCol
+      val keep = topDistinctValueRanks(df, groupCols, valCol,
+          xxhash64(col(valCol), lit(seed)), maxUniq)
+        .drop("__dr__").toDF(keys.map("__k_" + _): _*)
+      val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      df.join(keep, cond, "left_semi")
+    }
   }
 
   /** Approx variant (dataframe.py:3144-3189): scale sampling ratio by the
@@ -211,14 +245,61 @@ object Sampling {
     }
   }
 
+  /**
+   * Shared per-class row-cap tail: keep the n hash-smallest rows of each
+   * class. A bounded-heap aggregate (BoundedTopKAgg) replaces the
+   * `row_number().over(Window.partitionBy(class))` window — the window
+   * funnels every row of a class through ONE task, so the dominant class
+   * of a skewed corpus is a guaranteed straggler; the aggregate keeps at
+   * most n rows per class per map partial (shuffle carries O(n x classes
+   * x partitions) bounded buffers). Ordering is (hash asc, full row asc)
+   * — the same selection as the window, with hash ties additionally
+   * deterministic. Above the heap budget the spill-safe window remains
+   * the fallback.
+   */
+  private def capRowsPerClass(df: DataFrame, classCol: String, n: Int,
+                              orderKey: Column): DataFrame =
+    if (n <= graft.plans.BoundedTopKAgg.MaxHeapK) {
+      val entry = struct(orderKey.as("k"),
+        struct(df.columns.map(col): _*).as("r"))
+      df.groupBy(col(classCol))
+        .agg(graft.plans.BoundedTopKAgg.bounded_top_k(entry, n, reverse = false)
+          .as("__tk__"))
+        .select(explode(col("__tk__")).as("__e__"))
+        .select(col("__e__.r.*"))
+    } else {
+      val w = Window.partitionBy(col(classCol)).orderBy(orderKey)
+      df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= n).drop("__rn__")
+    }
+
+  /**
+   * Per-group 1-based ranks of the k first distinct `valCol` values in
+   * `(orderKey, value)` order — the scale-safe core of the distinct-value
+   * caps: the corpus collapses to distinct (group, value) pairs map-side,
+   * a bounded heap keeps k values per group, and posexplode restores the
+   * dense ranks. Output: (groupCols..., __dr__, valCol); the tiny ranked
+   * frame joins back null-safely. Never a data-cardinality window.
+   */
+  private def topDistinctValueRanks(df: DataFrame, groupCols: Seq[String],
+                                    valCol: String, orderKey: Column,
+                                    k: Int): DataFrame = {
+    val pairs = df.select((groupCols :+ valCol).map(col): _*).distinct()
+    val entry = struct(orderKey.as("k"), col(valCol).as("r"))
+    pairs.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.BoundedTopKAgg.bounded_top_k(entry, k, reverse = false)
+        .as("__tk__"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__tk__")).as(Seq("__pos__", "__e__")): _*)
+      .select(groupCols.map(col) :+ (col("__pos__") + 1).as("__dr__") :+
+        col("__e__.r").as(valCol): _*)
+  }
+
   /** Cap each class at n rows (dataframe.py:3314-3325). */
   def sampleClassByMaxValues(df: DataFrame, classCol: String, n: Int,
-                             seed: Long): DataFrame = {
-    val w = Window.partitionBy(col(classCol))
-      .orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= n).drop("__rn__")
-  }
+                             seed: Long): DataFrame =
+    capRowsPerClass(df, classCol, n,
+      xxhash64(struct(df.columns.map(col): _*), lit(seed)))
 
   /** Global distinct-value cap via semi-join against a sampled distinct
     * list (dataframe.py:3278-3297). */
@@ -349,10 +430,7 @@ object Sampling {
 
   /** Cap each class at n rows, md5-ranked — deterministic in any engine. */
   def sampleClassByMaxValuesPortable(df: DataFrame, classCol: String, n: Int,
-                                     seedStr: String = "0"): DataFrame = {
-    val w = Window.partitionBy(col(classCol))
-      .orderBy(md5(portableKeyMaterial(df.columns.map(col).toSeq, seedStr)))
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= n).drop("__rn__")
-  }
+                                     seedStr: String = "0"): DataFrame =
+    capRowsPerClass(df, classCol, n,
+      md5(portableKeyMaterial(df.columns.map(col).toSeq, seedStr)))
 }

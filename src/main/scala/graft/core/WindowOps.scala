@@ -47,24 +47,18 @@ object WindowOps {
 
   /**
    * Globally contiguous 0-based ordinals over the sorted distinct window
-   * values, WITHOUT a single-partition window: `orderBy` range-partitions
-   * and locally sorts, and `zipWithIndex` stitches the per-partition
-   * offsets into a global index (one small count job, no data movement).
-   * A `row_number().over(Window.orderBy(...))` here would move every
+   * values, WITHOUT a single-partition window: `XDF.globalOrdinal`
+   * range-partitions + locally sorts, then lifts per-partition positions
+   * to global ranks with a broadcast offset join — Tungsten end to end,
+   * no RDD hop, no corpus-sized row-format round-trip. A
+   * `row_number().over(Window.orderBy(...))` here would move every
    * distinct value to ONE task — fine for a handful of categorical
    * values, a straight scale-killer when the window column is
-   * near-unique (timestamps, the likeliest real input). The result is
-   * localCheckpoint'ed: it is consumed at least twice (count + join) and
-   * the zip must evaluate exactly once.
+   * near-unique (timestamps, the likeliest real input).
    */
-  private def ordinals(distinct: DataFrame, winCol: String): DataFrame = {
-    val sorted = distinct.orderBy(col(winCol))
-    val schema = StructType(sorted.schema.fields :+
-      StructField("__ord__", LongType, nullable = false))
-    val zipped = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(zipped, schema).localCheckpoint()
-  }
+  private def ordinals(distinct: DataFrame, winCol: String): DataFrame =
+    XDF.globalOrdinal(distinct, Seq(col(winCol)), "__ord__")
+      .withColumn("__ord__", col("__ord__") - 1)
 
   /** Distinct-cardinality guard for the ordinal-join build side: broadcast
     * only while the distinct window values stay modest (an unconditional

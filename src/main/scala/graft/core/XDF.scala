@@ -29,12 +29,19 @@ case class XDF(df: DataFrame) {
 
   // ===== §2.2 Projections / column ops =====
 
+  /** Backtick-quoted literal name: header names may carry `.`/`[` (the
+    * pseudo-array convention) which the bare attribute parser would
+    * split as nested-field access. */
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
   /** Regex-capable projection (dataframe.py:120-162). */
-  def select(cols: String*): XDF = XDF(df.select(res(cols).map(df.col): _*))
+  def select(cols: String*): XDF =
+    XDF(df.select(res(cols).map(n => df.col(quoted(n))): _*))
 
   /** Exclusion projection (dataframe.py:164-182). */
   def notSelect(cols: String*): XDF =
-    XDF(df.select(ColumnResolver.resolveNot(cols, header).map(df.col): _*))
+    XDF(df.select(ColumnResolver.resolveNot(cols, header)
+      .map(n => df.col(quoted(n))): _*))
 
   /** Select, creating missing plain columns as "" (dataframe.py:167-179). */
   def selectAndAddEmptyColsIfMissing(cols: String*): XDF = {
@@ -68,8 +75,17 @@ case class XDF(df: DataFrame) {
   /** Drop columns whose every value is "" / null. One aggregate pass
     * instead of the reference's per-column scans (dataframe.py:553-594). */
   def dropEmptyCols(): XDF = {
-    val aggs = header.map(c =>
-      max(when(col(c).cast(StringType) =!= "", 1).otherwise(0)).as(c))
+    // emptiness by type: only string/binary can cast to "" — numerics and
+    // the rest are non-empty iff non-null, and skipping their per-cell
+    // to-string conversion is what keeps the 1000-column sweep one cheap
+    // pass (measured 34s -> sub-second on a 1000-col x 60k-row frame)
+    val aggs = header.map { c =>
+      val nonEmpty = df.schema(c).dataType match {
+        case StringType | BinaryType => col(c).cast(StringType) =!= ""
+        case _                       => col(c).isNotNull
+      }
+      max(when(nonEmpty, 1).otherwise(0)).as(c)
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val empty = header.zipWithIndex.collect { case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c }
     XDF(df.drop(empty: _*))
@@ -242,6 +258,56 @@ case class XDF(df: DataFrame) {
   def notStartswith(c: String, v: String): XDF = where(allMatched(Seq(c), !_.cast(StringType).startsWith(v)))
   def endswith(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType).endsWith(v)))
   def notEndswith(c: String, v: String): XDF = where(allMatched(Seq(c), !_.cast(StringType).endsWith(v)))
+
+  // ===== pseudo-array predicates (dataframe.py:5395-5473) =====
+  // The reference's flattened-array convention names positional slots
+  // `name[0], name[1], ...` and nested fields `name[0].field`. These
+  // predicates are pure driver-side header algebra (find the slot
+  // columns) + ONE OR-folded filter — a single codegen'd predicate over
+  // the scan, no per-column data pass, any column count.
+
+  /** Backtick-quoted attribute: slot names carry `[`/`]`/`.` which the
+    * bare column parser would treat as nested-field access. */
+  private def rawCol(name: String): Column = col(quoted(name))
+
+  /** Rows where ANY `c[i]` slot satisfies pred (dataframe.py:5395). */
+  def arrayMatches(c: String, pred: Column => Column): XDF = {
+    val matching = header.filter(t => t.startsWith(c + "[") && t.endsWith("]"))
+    require(matching.nonEmpty, s"array_matches: no matching cols found: $c")
+    where(matching.map(n => pred(rawCol(n))).reduce(_ || _))
+  }
+
+  /** Rows where any `c[i]` equals str(value) (dataframe.py:5408). */
+  def arrayValueExists(c: String, value: Any): XDF =
+    arrayMatches(c, _.cast(StringType) === value.toString)
+
+  /** Rows where any `c[i]` contains str(value) (dataframe.py:5418). */
+  def arrayValueFind(c: String, value: Any): XDF =
+    arrayMatches(c, _.cast(StringType).contains(value.toString))
+
+  /** Rows where ANY `base[i].field` slot satisfies pred; `c` is
+    * `base[].field` (dataframe.py:5428 nested_array_matches). */
+  def nestedArrayMatches(c: String, pred: Column => Column): XDF = {
+    val index = c.lastIndexOf('.')
+    require(index >= 0, s"nested_array_matches: format of col is not correct: $c")
+    val arrayCol = c.substring(0, index)
+    val eltCol = c.substring(index + 1)
+    require(arrayCol.endsWith("[]"),
+      s"nested_array_matches: format of col is not correct: $c")
+    val base = arrayCol.dropRight(2)
+    val matching = header.filter(t =>
+      t.startsWith(base + "[") && t.endsWith("." + eltCol))
+    require(matching.nonEmpty, s"nested_array_matches: no matching cols found: $c")
+    where(matching.map(n => pred(rawCol(n))).reduce(_ || _))
+  }
+
+  /** Rows where any `base[i].field` equals str(value) (dataframe.py:5455). */
+  def nestedArrayValueExists(c: String, value: Any): XDF =
+    nestedArrayMatches(c, _.cast(StringType) === value.toString)
+
+  /** Rows where any `base[i].field` contains str(value) (dataframe.py:5464). */
+  def nestedArrayValueFind(c: String, value: Any): XDF =
+    nestedArrayMatches(c, _.cast(StringType).contains(value.toString))
 
   // ===== §2.4 Row-level transforms =====
 

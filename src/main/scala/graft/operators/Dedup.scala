@@ -186,17 +186,41 @@ object Dedup {
    * Representative election within clusters: keep the row with the
    * highest `scoreCol` per `clusterCol` (ties -> lowest `idCol`).
    * Composes with `minhashClusters` to implement keep-best-quality /
-   * keep-longest dedup instead of keep-min-id. One shuffle on the
-   * cluster key (window row_number, no global ordering).
+   * keep-longest dedup instead of keep-min-id.
+   *
+   * Plan shape: `max_by(struct(allCols), struct(score, -id))` — a
+   * declarative, map-side-combinable aggregate, NOT a
+   * `row_number().over(Window.partitionBy(cluster))` window. The window
+   * moves every member of a cluster to one task, and the motivating
+   * dedup input (one enormous boilerplate cluster) is exactly the
+   * straggler case; the aggregate carries one candidate row per cluster
+   * per map partial regardless of cluster size. The struct ordering key
+   * reproduces the (score desc NULLS LAST, id asc) window order: struct
+   * comparison puts a null score field below any value, so null-score
+   * rows lose to scored rows, and `-id` turns max into min on the tie
+   * key. Non-numeric id types fall back to a k=1 bounded-heap aggregate
+   * with the identical ordering (same no-straggler property).
    */
   def electRepresentative(clustered: DataFrame, clusterCol: String,
                           scoreCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(clusterCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    clustered.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
-      .drop("__rn__")
+    val cols = clustered.columns.toSeq
+    val rowStruct = struct(cols.map(col): _*)
+    val idNumeric = clustered.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (idNumeric) {
+      clustered.groupBy(col(clusterCol))
+        .agg(max_by(rowStruct, struct(col(scoreCol), -col(idCol))).as("__best__"))
+        .select(col("__best__.*"))
+        .select(cols.map(col): _*)
+    } else {
+      val entry = struct(col(scoreCol).as("k"),
+        struct((idCol +: cols.filterNot(_ == idCol)).map(col): _*).as("r"))
+      clustered.groupBy(col(clusterCol))
+        .agg(graft.plans.BoundedTopKAgg.bounded_top_k(entry, 1, reverse = true).as("__tk__"))
+        .select(explode(col("__tk__")).as("__e__"))
+        .select(col("__e__.r.*"))
+        .select(cols.map(col): _*)
+    }
   }
 
   /** SimHash-based near-dup: docs sharing an identical 16-bit simhash are

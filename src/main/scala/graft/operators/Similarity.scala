@@ -47,6 +47,38 @@ object Similarity {
     }: _*)
 
   /**
+   * Scale-safe top-k tail shared by all three search paths: a bounded-heap
+   * aggregate keyed by the query id (BoundedTopKAgg) replaces the
+   * `row_number().over(Window.partitionBy(queryId))` window. The window
+   * serializes each query's ENTIRE candidate set through one task — for
+   * brute force that is corpus x queries rows on however many tasks there
+   * are queries. The aggregate keeps at most k rows per query per map
+   * partial, so the shuffle carries O(k x queries x partitions) bounded
+   * buffers and candidate-set size cannot produce a straggler. Ordering
+   * (cosine desc, id asc, ties included) is identical to the window plan;
+   * above the heap budget the window remains the spill-safe fallback.
+   */
+  private def topKPerQuery(scored: DataFrame, queryIdCol: String,
+                           idCol: String, k: Int): DataFrame = {
+    if (k <= graft.plans.BoundedTopKAgg.MaxHeapK) {
+      val entry = struct(col("cosine").as("k"),
+        struct(col(idCol), col("cosine")).as("r"))
+      scored.groupBy(col(queryIdCol))
+        .agg(graft.plans.BoundedTopKAgg.bounded_top_k(entry, k, reverse = true).as("__tk__"))
+        .select(col(queryIdCol), explode(col("__tk__")).as("__e__"))
+        .select(col(queryIdCol), col(s"__e__.r.$idCol").as(idCol),
+          round(col("__e__.r.cosine"), 6).as("cosine"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryIdCol))
+        .orderBy(col("cosine").desc, col(idCol).asc)
+      scored.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= k)
+        .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+    }
+  }
+
+  /**
    * Exact top-k nearest neighbors by cosine for each query vector.
    * `queries` must be small (it is broadcast); the corpus streams.
    * Output: (queryIdCol, idCol, cosine), k rows per query.
@@ -59,12 +91,7 @@ object Similarity {
     val scored = corpus.select(col(idCol), col(vecCol).as("__cvec__"))
       .crossJoin(q)
       .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
   }
 
   /**
@@ -87,27 +114,14 @@ object Similarity {
     val model = new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("features")
       .fit(train)
     val centers = model.clusterCenters.map(_.toArray)
-    val bCenters = corpus.sparkSession.sparkContext.broadcast(centers)
-    val probeUdf = udf { (v: Seq[Double], n: Int) =>
-      bCenters.value.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
-          (d, i)
-        }.sortBy(_._1).take(n).map(_._2)
-    }
+    import graft.plans.NearestCellsExpression.nearest_cells
     val c = corpus.select(col(idCol), col(vecCol).as("__cvec__"))
-      .withColumn("__cell__", element_at(probeUdf(col("__cvec__"), lit(1)), 1))
+      .withColumn("__cell__", element_at(nearest_cells(col("__cvec__"), centers, 1), 1))
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec__"))
-      .withColumn("__cell__", explode(probeUdf(col("__qvec__"), lit(nProbes))))
+      .withColumn("__cell__", explode(nearest_cells(col("__qvec__"), centers, nProbes)))
     val scored = c.join(q, "__cell__")
       .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
   }
 
   /**
@@ -125,11 +139,6 @@ object Similarity {
       .withColumn("__bkt__", signBucket(col("__qvec__"), bits))
     val scored = c.join(q, "__bkt__")
       .withColumn("cosine", cosine(col("__cvec__"), col("__qvec__")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
   }
 }

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Round-6 laws: every per-group `row_number` window rewritten to a
+ * bounded-heap / max_by aggregate must return the window plan's exact
+ * result (ties, nulls, both orders), and NO correctness gate may plan a
+ * window partitioned by a data-cardinality column outside the audited
+ * whitelist.
+ */
+class Round6Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def multiset(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  // ===== plan audit over every gate =====
+
+  /** Gates whose plans legitimately contain a window, with why. Anything
+    * else planning a Window node is a scale regression and fails here. */
+  private val windowWhitelist: Map[String, String] = Map(
+    "q_asof_join" ->
+      "last-value carry within the join-key partition is the as-of merge itself",
+    "q_sessionize_batch" ->
+      "lag/cumsum within the session entity key — per-entity event streams, bounded by contract",
+    "q_agg_collapse_false" ->
+      "reference collapse=false semantics: every row annotated with its group aggregate",
+    "q_cumulative_sum" ->
+      "reference global running-sum semantics (explicitly ordered, documented scale limit)",
+    "q_graph_time_forward" ->
+      "ancestor-closure dominance prune, state bounded per (node, ancestor) pair",
+    "q_graph_forward_edges" ->
+      "ancestor-closure dominance prune, state bounded per (node, ancestor) pair"
+  )
+
+  test("plan audit: no gate windows outside the audited whitelist") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, dir).queryExecution.optimizedPlan.toString
+        if (plan.contains("windowspecdefinition") && !windowWhitelist.contains(name))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"gates planning an unaudited window (straggler risk at scale): $offenders")
+  }
+
+  // ===== electRepresentative: aggregate == window =====
+
+  test("law: electRepresentative agg == window; ties, null scores, string ids") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      (s"c${rnd.nextInt(5)}",
+       if (rnd.nextInt(8) == 0) null else Integer.valueOf(rnd.nextInt(4)), // heavy ties
+       i.toLong, s"p$i")
+    }
+    val base = spark.createDataFrame(rows).toDF("cluster", "score", "id", "payload")
+    // one cluster with ONLY null scores — the window's nulls-last edge
+    val allNull = Seq(("cnull", null.asInstanceOf[Integer], 9001L, "x"),
+      ("cnull", null.asInstanceOf[Integer], 9000L, "y"))
+    val df = base.union(spark.createDataFrame(allNull)
+      .toDF("cluster", "score", "id", "payload"))
+
+    def viaWindow(d: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col(idCol).asc)
+      d.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1).drop("__rn__")
+    }
+
+    // numeric-id (max_by) path
+    val agg = operators.Dedup.electRepresentative(df, "cluster", "score", "id")
+    assert(multiset(agg) == multiset(viaWindow(df, "id")))
+    assert(!agg.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"),
+      "numeric-id election must not plan a window")
+
+    // string-id (bounded-heap) fallback path
+    val sdf = df.withColumn("id", concat(lit("id"), format_string("%05d", col("id"))))
+    val aggS = operators.Dedup.electRepresentative(sdf, "cluster", "score", "id")
+    assert(multiset(aggS) == multiset(viaWindow(sdf, "id")))
+    assert(!aggS.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"),
+      "string-id election must not plan a window")
+  }
+
+  // ===== class row caps: aggregate == window =====
+
+  test("law: sampleClassByMaxValues(+Portable) agg == window selection") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      (if (i < 3500) "dominant" else s"c${rnd.nextInt(4)}", i.toLong, rnd.nextInt(100))
+    }
+    val df = spark.createDataFrame(rows).toDF("cls", "id", "v")
+    for (n <- Seq(1, 7, 120)) {
+      val viaAgg = core.Sampling.sampleClassByMaxValues(df, "cls", n, seed = 42)
+      val w = Window.partitionBy(col("cls"))
+        .orderBy(xxhash64(struct(df.columns.map(col): _*), lit(42L)))
+      val viaWin = df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= n).drop("__rn__")
+      assert(multiset(viaAgg) == multiset(viaWin), s"n=$n")
+      assert(!viaAgg.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"))
+
+      val viaAggP = core.Sampling.sampleClassByMaxValuesPortable(df, "cls", n)
+      assert(viaAggP.count() ==
+        df.select("cls").distinct().collect().map { r =>
+          math.min(n, df.filter(col("cls") === r.getString(0)).count())
+        }.sum, s"portable n=$n row count")
+    }
+  }
+
+  // ===== distinct-value caps: pair-rank join == dense_rank window =====
+
+  test("law: sampleGroupByMaxUniqValues agg == dense_rank window, null keys included") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 3000).map { i =>
+      (if (rnd.nextInt(20) == 0) null else s"g${rnd.nextInt(3)}",
+       if (rnd.nextInt(15) == 0) null else s"v${rnd.nextInt(40)}",
+       i)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "v", "payload")
+    for (cap <- Seq(1, 5, 25)) {
+      val viaAgg = core.Sampling.sampleGroupByMaxUniqValues(df, Seq("g"), "v", cap, 17L)
+      val w = Window.partitionBy(col("g"))
+        .orderBy(xxhash64(col("v"), lit(17L)), col("v"))
+      val viaWin = df.withColumn("__dr__", dense_rank().over(w))
+        .filter(col("__dr__") <= cap).drop("__dr__")
+      assert(multiset(viaAgg) == multiset(viaWin), s"cap=$cap")
+      assert(!viaAgg.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"))
+    }
+  }
+
+  test("law: sampleGroupByMaxUniqValuesPerClass agg == dense_rank window") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 3000).map { i =>
+      (s"g${rnd.nextInt(3)}", s"k${rnd.nextInt(3)}",
+       if (rnd.nextInt(15) == 0) null else s"v${rnd.nextInt(30)}", i)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "cls", "v", "payload")
+    def viaWindow(capExprOf: DataFrame => org.apache.spark.sql.Column,
+                  d: DataFrame): DataFrame = {
+      val key = concat_ws("\u0001",
+        coalesce(col("v").cast("string"), lit("\u0000")), lit("0"))
+      val w = Window.partitionBy(col("g")).orderBy(md5(key), col("v"))
+      d.withColumn("__dr__", dense_rank().over(w))
+        .filter(col("__dr__") <= capExprOf(d)).drop("__dr__")
+    }
+    // mapped caps + finite default
+    val a1 = core.Sampling.sampleGroupByMaxUniqValuesPerClass(
+      df, Seq("g"), "cls", "v", Map("k0" -> 2, "k1" -> 7), defMaxUniq = Some(4))
+    val w1 = viaWindow(_ => when(col("cls") === "k0", 2)
+      .when(col("cls") === "k1", 7).otherwise(4), df)
+    assert(multiset(a1) == multiset(w1), "finite default")
+    assert(!a1.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"))
+    // unlimited default: unmapped classes keep every value
+    val a2 = core.Sampling.sampleGroupByMaxUniqValuesPerClass(
+      df, Seq("g"), "cls", "v", Map("k0" -> 3), defMaxUniq = None)
+    val w2 = viaWindow(_ => when(col("cls") === "k0", 3)
+      .otherwise(Int.MaxValue), df)
+    assert(multiset(a2) == multiset(w2), "unlimited default")
+  }
+
+  // ===== similarity top-k tails =====
+
+  test("law: similarity top-k agg tail == window tail; no window planned") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 5).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("query_id", "embedding")
+    val topk = operators.Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", "query_id", k = 7)
+    assert(!topk.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"),
+      "top-k tail must be the bounded-heap aggregate, not a window")
+    // window reference, built inline
+    val q = broadcast(queries.select(col("query_id"), col("embedding").as("__qvec__")))
+    val scored = corpus.select(col("vec_id"), col("embedding").as("__cvec__"))
+      .crossJoin(q)
+      .withColumn("cosine", operators.Similarity.cosine(col("__cvec__"), col("__qvec__")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val ref = scored.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= 7)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    assert(multiset(topk) == multiset(ref))
+  }
+
+  // ===== pseudo-array predicates over flattened JSON =====
+
+  test("array predicates consume pivoted explode_json output") {
+    val rows = Seq(
+      (1L, """{"items":[{"n":"a"},{"n":"b"}]}"""),
+      (2L, """{"items":[{"n":"c"}]}"""),
+      (3L, """{"items":[]}""")).toDF("id", "payload")
+    val flat = core.JsonFlattener.explodeJson(rows, "payload", "j")
+    // fan-out positions -> the reference's positional slot convention
+    val slots = flat.groupBy("id")
+      .pivot("j:items:__explode_json_index__", Seq(0, 1))
+      .agg(first(col("j:items:n")))
+      .withColumnRenamed("0", "item[0].n")
+      .withColumnRenamed("1", "item[1].n")
+    val hasB = core.XDF(slots).nestedArrayValueExists("item[].n", "b")
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(hasB == Seq(1L))
+    // bare positional form: rename to item[i] and match any slot
+    val bare = slots
+      .withColumnRenamed("item[0].n", "item[0]")
+      .withColumnRenamed("item[1].n", "item[1]")
+    val hasC = core.XDF(bare).arrayValueExists("item", "c")
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(hasC == Seq(2L))
+    // substring find + no-match validation
+    val found = core.XDF(bare).arrayValueFind("item", "a")
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(found == Seq(1L))
+    intercept[IllegalArgumentException] {
+      core.XDF(bare).arrayMatches("nosuch", _.isNotNull)
+    }
+  }
+
+  // ===== native IVF cell assignment =====
+
+  test("law: NearestCellsExpression == reference scala argmin, float and double") {
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(6)(Array.fill(5)(rnd.nextGaussian()))
+    def refNearest(v: Array[Double], n: Int): Seq[Int] =
+      centers.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(_._1).take(n).map(_._2).toSeq
+    val vecs = (0 until 200).map(i => (i, Array.fill(5)(rnd.nextGaussian())))
+    // double input
+    val dfD = vecs.toDF("id", "vec")
+    for (n <- Seq(1, 3, 6)) {
+      val got = dfD.select(col("id"),
+          graft.plans.NearestCellsExpression.nearest_cells(col("vec"), centers, n).as("cells"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+      vecs.foreach { case (i, v) =>
+        assert(got(i) == refNearest(v, n), s"id=$i n=$n") }
+    }
+    // float input (the embeddings table's element type)
+    val dfF = vecs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("id", "vec")
+    val gotF = dfF.select(col("id"),
+        graft.plans.NearestCellsExpression.nearest_cells(col("vec"), centers, 2).as("cells"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (i, v) =>
+      assert(gotF(i) == refNearest(v.map(_.toFloat.toDouble), 2), s"float id=$i") }
+    // distance ties resolve to the lower cell index
+    val tied = Seq((0, Array(0.0, 0.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
+    val eq = Array(Array(1.0, 0.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0, 0.0))
+    val t = tied.select(graft.plans.NearestCellsExpression
+      .nearest_cells(col("vec"), eq, 2).as("c")).head().getSeq[Int](0)
+    assert(t == Seq(0, 1))
+  }
+}
