@@ -62,11 +62,14 @@ object Round6Queries {
     // algebra stays driver-side (plan-spec'd in ScaleSpec), the gate
     // checks the VALUES survive the 1000-column round trip =====
     "q_wide_cols" -> ((s, dir) => {
-      // row-thinned: the gate exercises 1000-column NAME ALGEBRA (one-pass
+      // row-capped: the gate exercises 1000-column NAME ALGEBRA (one-pass
       // sweep, prefix rename, regex select) — the 1000 synthesized
       // expressions per row are fixture cost, not library cost, and a
-      // >64KB generated method never JITs (measured 17s at 60k rows)
+      // >64KB generated method never JITs (measured 17s at 60k rows). The
+      // deterministic sort+limit keeps the fixture the same size at every
+      // scale factor.
       val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .orderBy("l_orderkey", "l_linenumber").limit(3000)
       val wide = base.select(
         col("l_orderkey") +: col("l_linenumber") +:
           ((1 to 499).map(i => round(col("l_quantity") * i, 2).as(s"m:q$i")) ++
@@ -131,8 +134,8 @@ object Round6Queries {
                 round(l_quantity * 7, 2)   AS "metric:q7",
                 round(l_quantity * 499, 2) AS "metric:q499",
                 l_returnflag || '3'        AS t3
-         FROM lineitem
-         WHERE l_orderkey % 20 = 0
+         FROM (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0
+               ORDER BY l_orderkey, l_linenumber LIMIT 3000)
          ORDER BY l_orderkey, l_linenumber"""
   )
 }
