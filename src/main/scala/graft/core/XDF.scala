@@ -448,9 +448,22 @@ case class XDF(df: DataFrame) {
     if (collapse) {
       val aggExprs = exprs.map { case (n, e) => e.as(n) }
       XDF(df.groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*))
-    } else {
+    } else if (keys.isEmpty || exprs.exists(e => header.contains(e._1))) {
+      // empty keys (global annotate) or output-name replacement semantics:
+      // the window form is the faithful one
       val w = Window.partitionBy(keys.map(col): _*)
       XDF(exprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e.over(w)) })
+    } else {
+      // collapse=false annotates every row with its group aggregate. A
+      // window partitioned by the group keys funnels each group through
+      // ONE task — a skewed key is a straggler; the same values come from
+      // the map-combinable groupBy (one row per group) joined back
+      // null-safely — broadcast-eligible, no task ever owns a whole group.
+      val aggExprs = exprs.map { case (n, e) => e.as(n) }
+      val agged = df.groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        .select(keys.map(k => col(k).as(s"__g_$k")) ++ exprs.map(e => col(e._1)): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _)
+      XDF(df.join(agged, cond, "left").drop(keys.map(k => s"__g_$k"): _*))
     }
   }
 
@@ -538,15 +551,54 @@ case class XDF(df: DataFrame) {
   def distinctCols(cols: String*): XDF = select(cols: _*).distinct()
 
   /** Running sum in a given deterministic order (dataframe.py:4091-4129).
-    * Partition by `partitionCols` when supplied so the window parallelizes;
-    * the reference's global running sum is the empty-partition case. */
+    * Partition by `partitionCols` when supplied (per-entity running sums,
+    * bounded per entity by contract). The reference's GLOBAL running sum
+    * (empty partitionCols) does NOT use an unpartitioned window — that
+    * moves the whole table through one task. It runs as a distributed
+    * prefix sum: range-partition in `orderCols` order, per-partition
+    * running sums (a window keyed by the BOUNDED spark_partition_id, one
+    * task per physical partition), and broadcast per-partition offsets —
+    * the textbook scan parallelization. Null handling matches the window
+    * exactly: a row's total is null iff no non-null value precedes it.
+    * The sorted frame is localCheckpoint'ed so the offsets job and the
+    * output job see identical partition memberships. */
   def cumulativeSum(c: String, newCol: String, orderCols: Seq[String],
                     partitionCols: Seq[String] = Nil): XDF = {
-    val w0 = if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
-             else Window.partitionBy()
-    val w = w0.orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    transform(newCol, sum(col(c).cast(DoubleType)).over(w))
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      transform(newCol, sum(col(c).cast(DoubleType)).over(w))
+    } else {
+      val spark = df.sparkSession
+      val sorted = df.repartitionByRange(orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+        .withColumn("__pid__", spark_partition_id())
+        .localCheckpoint()
+      val totals = sorted.groupBy(col("__pid__"))
+        .agg(sum(col(c).cast(DoubleType)).as("__t__"),
+          count(col(c)).as("__n__"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2)))
+        .toMap
+      val pids = totals.keys.toSeq.sorted
+      val offs = pids.zip(pids.scanLeft((0.0, 0L)) { case ((s, n), p) =>
+        (s + totals(p)._1, n + totals(p)._2) }).toMap
+      import spark.implicits._
+      val offsDf = pids.map(p => (p, offs(p)._1, offs(p)._2))
+        .toDF("__pid__", "__off__", "__offn__")
+      val w = Window.partitionBy(col("__pid__"))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val localSum = sum(col(c).cast(DoubleType)).over(w)
+      val localCnt = count(col(c)).over(w)
+      XDF(sorted.join(broadcast(offsDf), Seq("__pid__"), "left")
+        .withColumn(newCol,
+          when(coalesce(col("__offn__"), lit(0L)) + localCnt > 0,
+            coalesce(col("__off__"), lit(0.0)) + coalesce(localSum, lit(0.0))))
+        .drop("__pid__", "__off__", "__offn__"))
+    }
   }
 
   // ===== §2.5 Joins =====

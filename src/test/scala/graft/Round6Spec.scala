@@ -26,10 +26,8 @@ class Round6Spec extends SparkTestBase {
       "last-value carry within the join-key partition is the as-of merge itself",
     "q_sessionize_batch" ->
       "lag/cumsum within the session entity key — per-entity event streams, bounded by contract",
-    "q_agg_collapse_false" ->
-      "reference collapse=false semantics: every row annotated with its group aggregate",
     "q_cumulative_sum" ->
-      "reference global running-sum semantics (explicitly ordered, documented scale limit)",
+      "per-entity running sums: window keyed by the caller's entity column, bounded per entity by contract (the GLOBAL path is a distributed prefix sum, no window)",
     "q_graph_time_forward" ->
       "ancestor-closure dominance prune, state bounded per (node, ancestor) pair",
     "q_graph_forward_edges" ->
@@ -190,6 +188,59 @@ class Round6Spec extends SparkTestBase {
       .filter(col("__rn__") <= 7)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
     assert(multiset(topk) == multiset(ref))
+  }
+
+  // ===== collapse=false: agg+join-back == per-group window =====
+
+  test("law: aggregate(collapse=false) join-back == window, null keys included") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 3000).map { i =>
+      (if (rnd.nextInt(20) == 0) null else s"g${rnd.nextInt(3)}",
+       rnd.nextInt(100), i)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "v", "payload")
+    val viaAgg = core.XDF(df)
+      .aggregate(Seq("g"), Seq("v", "v"), Seq("sum", "count"), collapse = false)
+    // identical AggRegistry expressions, window plan (the old physical shape)
+    val w = Window.partitionBy(col("g"))
+    val viaWin = df
+      .withColumn("v:sum", core.AggRegistry.expr("sum", col("v")).over(w))
+      .withColumn("v:count", core.AggRegistry.expr("count", col("v")).over(w))
+    assert(multiset(viaAgg.toDF) == multiset(viaWin))
+    assert(!viaAgg.toDF.queryExecution.optimizedPlan.toString
+      .contains("windowspecdefinition"),
+      "collapse=false must not plan a per-group window")
+    // empty group cols keep the (global-window) replacement path
+    val global = core.XDF(df).aggregate(Nil, Seq("v"), Seq("sum"), collapse = false)
+    assert(global.toDF.select("v:sum").distinct().count() == 1)
+  }
+
+  // ===== global cumulative sum: prefix sum == unpartitioned window =====
+
+  test("law: global cumulativeSum prefix-sum == window, leading nulls included") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 3000).map { i =>
+      // leading rows all-null in the value col: the running total must
+      // stay null until the first non-null value, exactly like the window
+      (i, if (i < 40 || rnd.nextInt(10) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(1000) / 10.0))
+    }
+    val df = spark.createDataFrame(rows).toDF("ord", "v")
+      .repartition(7) // scrambled input: the operator must sort
+    val viaPrefix = core.XDF(df)
+      .cumulativeSum("v", "rt", orderCols = Seq("ord"))
+      .toDF.select(col("ord"), round(col("rt"), 6).as("rt"))
+    val w = Window.orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWin = df
+      .withColumn("rt", sum(col("v").cast("double")).over(w))
+      .select(col("ord"), round(col("rt"), 6).as("rt"))
+    assert(multiset(viaPrefix) == multiset(viaWin))
+    // and the plan's only window is keyed by the bounded partition id
+    val plan = core.XDF(df).cumulativeSum("v", "rt", Seq("ord"))
+      .toDF.queryExecution.optimizedPlan.toString
+    assert(!raw"windowspecdefinition\((ord|v)#".r.findFirstIn(plan).isDefined,
+      s"global running sum must not window over data columns:\n${plan.take(500)}")
   }
 
   // ===== pseudo-array predicates over flattened JSON =====
