@@ -22,6 +22,9 @@ object PlanAudit {
           "CARTESIAN" -> plan.contains("CartesianProduct"),
           "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
           "UNPART_WIN" -> unpartWin,
+          // any window at all: must stay within Round6Spec's audited
+          // whitelist (per-group windows are straggler risks at scale)
+          "WIN" -> plan.contains("windowspecdefinition"),
         ).collect { case (f, true) => f }
         val nEx = "Exchange".r.findAllIn(plan).length
         println(f"[audit] $name%-28s exchanges=$nEx%2d ${flags.mkString(",")}")
