@@ -57,6 +57,45 @@ object Round6Queries {
         .select("doc_id", "n_chars", "bin_id")
         .orderBy("doc_id")),
 
+    // ===== STREAMING windowed aggregate, driver-oracled: the events
+    // table round-trips through a JSON file stream -> Structured
+    // Streaming tumbling-window agg -> complete-mode memory sink, and
+    // the emitted windows must match DuckDB's batch GROUP BY. This
+    // gates the streaming ENGINE path (previously law-tested only) =====
+    "q_stream_window_agg" -> ((s, dir) => {
+      val evRaw = s.read.parquet(s"$dir/events.parquet")
+      val ev = (if (evRaw.schema("ts").dataType ==
+                    org.apache.spark.sql.types.LongType)
+                  evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                else evRaw)
+        .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_swa").toString
+      ev.write.mode("overwrite").json(tmp)
+      val stream = streaming.StreamOps.readJsonStream(s, tmp,
+        "ts TIMESTAMP, event_type STRING, value DOUBLE")
+      val agged = streaming.StreamOps.windowedAggregate(stream, "ts",
+        "1 hour", null, "1 minute", Seq("event_type"), Seq("value"), Seq("sum"))
+      val qn = "q_stream_window_agg_sink"
+      val q = agged.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), round(col("value:sum"), 2).as("value:sum"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ===== GLOBAL running sum — the distributed prefix-sum path (no
+    // partition cols; the per-entity path is gated by q_cumulative_sum) =====
+    "q_cumsum_global" -> ((s, dir) =>
+      XDF(t(s, dir, "orders"))
+        .cumulativeSum("o_totalprice", "running_total",
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .transform("running_total", round(col("running_total"), 2))
+        .select("o_orderkey", "running_total")
+        .sort(Seq("o_orderkey")).toDF),
+
     // ===== wide data end to end: 1000 generated columns -> one-pass
     // dropEmptyCols sweep -> prefix rename -> regex select; the name
     // algebra stays driver-side (plan-spec'd in ScaleSpec), the gate
@@ -128,6 +167,18 @@ object Round6Queries {
            FROM rec JOIN d ON d.rn = rec.rn + 1)
          SELECT doc_id, n_chars, '0:' || bin AS bin_id
          FROM rec ORDER BY doc_id""",
+
+    "q_stream_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                event_type, round(sum(value), 2) AS "value:sum"
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q_cumsum_global" ->
+      """SELECT o_orderkey,
+                round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_total
+         FROM orders ORDER BY o_orderkey""",
 
     "q_wide_cols" ->
       """SELECT l_orderkey, l_linenumber,

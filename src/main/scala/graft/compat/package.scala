@@ -53,6 +53,12 @@ package object compat {
     def values_not_in(c: String, vs: Seq[Any]): XDF = x.valuesNotIn(c, vs)
     def regex_match(c: String, p: String): XDF = x.regexMatch(c, p)
     def not_regex_match(c: String, p: String): XDF = x.notRegexMatch(c, p)
+    def array_matches(c: String, pred: Column => Column): XDF = x.arrayMatches(c, pred)
+    def array_value_exists(c: String, v: Any): XDF = x.arrayValueExists(c, v)
+    def array_value_find(c: String, v: Any): XDF = x.arrayValueFind(c, v)
+    def nested_array_matches(c: String, pred: Column => Column): XDF = x.nestedArrayMatches(c, pred)
+    def nested_array_value_exists(c: String, v: Any): XDF = x.nestedArrayValueExists(c, v)
+    def nested_array_value_find(c: String, v: Any): XDF = x.nestedArrayValueFind(c, v)
 
     // transforms
     def transform_inline(cols: Seq[String], f: Column => Column): XDF =

@@ -135,13 +135,15 @@ case class XDF(df: DataFrame) {
   /** Move matching cols to the front (dataframe.py:2087-2145). */
   def reorder(cols: String*): XDF = {
     val front = res(cols)
-    XDF(df.select((front ++ header.filterNot(front.contains)).map(df.col): _*))
+    XDF(df.select((front ++ header.filterNot(front.contains))
+      .map(n => df.col(quoted(n))): _*))
   }
 
   /** Move matching cols to the back (dataframe.py:2147-2158). */
   def reverseReorder(cols: String*): XDF = {
     val back = res(cols)
-    XDF(df.select((header.filterNot(back.contains) ++ back).map(df.col): _*))
+    XDF(df.select((header.filterNot(back.contains) ++ back)
+      .map(n => df.col(quoted(n))): _*))
   }
 
   def copyCol(from: String, to: String): XDF = XDF(df.withColumn(to, col(from)))
@@ -783,7 +785,7 @@ case class XDF(df: DataFrame) {
     * already says it, and for string columns `allNumeric` forces a cast. */
   def sort(cols: Seq[String], reverse: Boolean = false, allNumeric: Boolean = false): XDF = {
     val sortCols = res(cols).map { c =>
-      val base = if (allNumeric) col(c).cast(DoubleType) else col(c)
+      val base = if (allNumeric) rawCol(c).cast(DoubleType) else rawCol(c)
       if (reverse) base.desc else base.asc
     }
     XDF(df.orderBy(sortCols: _*))

@@ -28,6 +28,8 @@ class Round6Spec extends SparkTestBase {
       "lag/cumsum within the session entity key — per-entity event streams, bounded by contract",
     "q_cumulative_sum" ->
       "per-entity running sums: window keyed by the caller's entity column, bounded per entity by contract (the GLOBAL path is a distributed prefix sum, no window)",
+    "q_cumsum_global" ->
+      "distributed prefix sum: its only window is keyed by the BOUNDED physical partition id (one partition per task), never a data column",
     "q_graph_time_forward" ->
       "ancestor-closure dominance prune, state bounded per (node, ancestor) pair",
     "q_graph_forward_edges" ->
@@ -274,6 +276,12 @@ class Round6Spec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       core.XDF(bare).arrayMatches("nosuch", _.isNotNull)
     }
+    // slot names survive the whole name-algebra surface, not just select:
+    // sort and reorder must treat `[`/`.` names verbatim too
+    val sorted = core.XDF(slots).sort(Seq("item[0].n"), reverse = true)
+      .reorder("item[1].n").toDF
+    assert(sorted.columns.head == "item[1].n")
+    assert(sorted.select("id").head().getLong(0) == 2L) // "c" sorts last desc... "c" > "a"
   }
 
   // ===== native IVF cell assignment =====
