@@ -86,6 +86,33 @@ object Round6Queries {
         .orderBy("hour", "event_type")
     }),
 
+    // ===== streaming dedup, driver-oracled: dropDuplicatesWithinWatermark
+    // over the file stream keyed by (event_type, user_id % 100). Keys
+    // only in the output — WHICH row survives per key depends on stream
+    // arrival order, but the surviving KEY SET is exactly the distinct
+    // keys, which DuckDB checks =====
+    "q_stream_dedup" -> ((s, dir) => {
+      val evRaw = s.read.parquet(s"$dir/events.parquet")
+      val ev = (if (evRaw.schema("ts").dataType ==
+                    org.apache.spark.sql.types.LongType)
+                  evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                else evRaw)
+        .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
+          col("event_type"), (col("user_id") % 100).as("user_bucket"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+      ev.write.mode("overwrite").json(tmp)
+      val stream = streaming.StreamOps.readJsonStream(s, tmp,
+        "ts TIMESTAMP, event_type STRING, user_bucket BIGINT")
+      val deduped = streaming.StreamOps.streamingDedup(stream, "ts",
+        "10 minutes", Seq("event_type", "user_bucket"))
+      val qn = "q_stream_dedup_sink"
+      val q = deduped.select("event_type", "user_bucket")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("event_type", "user_bucket")
+    }),
+
     // ===== GLOBAL running sum — the distributed prefix-sum path (no
     // partition cols; the per-entity path is gated by q_cumulative_sum) =====
     "q_cumsum_global" -> ((s, dir) =>
@@ -167,6 +194,10 @@ object Round6Queries {
            FROM rec JOIN d ON d.rn = rec.rn + 1)
          SELECT doc_id, n_chars, '0:' || bin AS bin_id
          FROM rec ORDER BY doc_id""",
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_type, user_id % 100 AS user_bucket
+         FROM events ORDER BY event_type, user_bucket""",
 
     "q_stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,

@@ -284,6 +284,22 @@ class Round6Spec extends SparkTestBase {
     assert(sorted.select("id").head().getLong(0) == 2L) // "c" sorts last desc... "c" > "a"
   }
 
+  test("array predicate OR-fold pushes down to the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").as("slot[0]"),
+        col("o_orderstatus").as("slot[1]"))
+    val plan = core.XDF(df).arrayValueExists("slot", "F")
+      .toDF.queryExecution.executedPlan.toString
+    // the alias-projected OR predicate must reach the scan as a single
+    // pushed filter over the source columns, with the read schema pruned
+    assert(plan.contains("PushedFilters: [Or(EqualTo(o_orderpriority,F),EqualTo(o_orderstatus,F))]")
+      || plan.contains("PushedFilters: [Or(EqualTo(o_orderstatus,F),EqualTo(o_orderpriority,F))]"),
+      s"OR-fold not pushed:\n${plan.take(600)}")
+  }
+
   // ===== native IVF cell assignment =====
 
   test("law: NearestCellsExpression == reference scala argmin, float and double") {
