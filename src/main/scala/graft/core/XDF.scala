@@ -236,6 +236,8 @@ case class XDF(df: DataFrame) {
   def geFloat(c: String, v: Double): XDF = where(allMatched(Seq(c), _.cast(DoubleType) >= v))
   def ltStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) < v))
   def gtStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) > v))
+  def leStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) <= v))
+  def geStr(c: String, v: String): XDF = where(allMatched(Seq(c), _.cast(StringType) >= v))
 
   // zero / empty (dataframe.py:305-316, 402-408)
   def isNonzeroInt(c: String): XDF = where(allMatched(Seq(c), _.cast(DoubleType).cast(LongType) =!= 0))

@@ -51,6 +51,31 @@ class CoreSpec extends SparkTestBase {
     assert(iris.distinct_cols("class").num_rows() == 3)
   }
 
+  test("compat: sampling / reshape / diagnostics verbs chain off the frame") {
+    import graft.compat._
+    import org.apache.spark.sql.Column
+    // callback filter pair
+    assert(iris.filter("class", (c: Column) => c.endsWith("setosa")).num_rows() == 2)
+    assert(iris.exclude_filter("class", (c: Column) => c.endsWith("setosa")).num_rows() == 3)
+    // sampling family delegations stay exact-n / deterministic
+    assert(iris.sample_n(2, seed = 7).num_rows() == 2)
+    assert(iris.sample_class_by_max_values("class", 1, seed = 7).num_rows() == 3)
+    assert(iris.split_batches(Seq("class"), 2, seed = 7)
+      .map(_.numRows()).sum == 5)
+    // reshape: one row per split token, prefixed output col
+    val s = XDF(Seq(("a b", 1)).toDF("t", "i"))
+    assert(s.split_str(Seq("t"), " ", "p").num_rows() == 2)
+    assert(s.split_str(Seq("t"), " ", "p").getHeader.contains("p:t"))
+    // header accessors + scalar verb
+    assert(iris.has_col("class") && iris.get_col_index("class") >= 0)
+    assert(iris.first_value_with_default_if_missing("nope", "dflt") == "dflt")
+    assert(!iris.is_empty())
+    assert(iris.size_in_bytes() > 0)
+    // ge/le string comparisons added for reference parity
+    assert(iris.ge_str("class", "Iris-versicolor").num_rows() == 3)
+    assert(iris.le_str("class", "Iris-setosa").num_rows() == 2)
+  }
+
   test("string-typed eq_int matches 3.0 as 3") {
     val df = XDF(Seq(("3.0", "a"), ("3", "b"), ("4", "c")).toDF("x", "tag"))
     assert(df.eqInt("x", 3).toDF.count() == 2)

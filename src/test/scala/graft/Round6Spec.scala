@@ -300,6 +300,31 @@ class Round6Spec extends SparkTestBase {
       s"OR-fold not pushed:\n${plan.take(600)}")
   }
 
+  // ===== reference API parity census =====
+
+  test("every reference dataframe verb resolves same-name (minus documented N/A)") {
+    val refPath = java.nio.file.Paths.get(
+      "/root/reference/python-packages/core/src/omigo_core/dataframe.py")
+    assume(java.nio.file.Files.exists(refPath))
+    val ref = new String(java.nio.file.Files.readAllBytes(refPath))
+    val refVerbs = raw"(?m)^    def ([a-z_0-9]+)\(self".r
+      .findAllMatchIn(ref).map(_.group(1)).filterNot(_.startsWith("__")).toSet
+    def defs(path: String): Set[String] = {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      raw"def `?([A-Za-z_0-9]+)`?[\(:\[]".r.findAllMatchIn(s).map(_.group(1)).toSet
+    }
+    val ours = defs("src/main/scala/graft/compat/package.scala") ++
+      defs("src/main/scala/graft/core/XDF.scala")
+    // permanent N/A in a JVM engine: pandas bridge, clipboard, Python
+    // dynamic class extension (toTuples/toMaps/fromMaps are the JVM forms)
+    val na = Set("to_pandas_df", "export_to_df", "to_clipboard",
+      "extend_class", "extend_external_class")
+    val missing = (refVerbs -- na).filterNot(ours.contains)
+    assert(missing.isEmpty,
+      s"reference verbs without a same-name call: ${missing.toSeq.sorted}")
+  }
+
   // ===== native IVF cell assignment =====
 
   test("law: NearestCellsExpression == reference scala argmin, float and double") {
