@@ -422,7 +422,7 @@ package object compat {
       val targets = x.getHeader.filter(c =>
         c.endsWith(":url_encoded:uniq_mkstr") || c.endsWith(":url_encoded:mkstr"))
       val decoded = targets.foldLeft(x)((d, c) =>
-        d.transformInline(Seq(java.util.regex.Pattern.quote(c)), v =>
+        d.transformInline(Seq(c), v =>
           F.concat_ws(",", F.transform(F.split(v.cast("string"), ","),
             e => F.url_decode(e)))))
       decoded.getHeader.filter(c => c.endsWith(":url_encoded:uniq_mkstr") ||

@@ -76,6 +76,45 @@ class CoreSpec extends SparkTestBase {
     assert(iris.le_str("class", "Iris-setosa").num_rows() == 2)
   }
 
+  test("compat: join / codecs / reshape / serialize round-trips") {
+    import graft.compat._
+    import org.apache.spark.sql.Column
+    val l = XDF(Seq((1, "a"), (2, "b")).toDF("k", "lv"))
+    val r = XDF(Seq((1, "x"), (3, "y")).toDF("k", "rv"))
+    assert(l.join(r, Seq("k")).num_rows() == 1)
+    assert(l.join(r, Seq("k"), join_type = "left").num_rows() == 2)
+    assert(l.join(r, Seq("k"), join_type = "outer").num_rows() == 3)
+    // codec new-column variants invert each other
+    val enc = XDF(Seq(Tuple1("a b&c")).toDF("t"))
+      .url_encode("t", "e").url_decode("e", "d")
+    assert(enc.toDF.select("d").head().getString(0) == "a b&c")
+    val b64 = XDF(Seq(Tuple1("payload")).toDF("t"))
+      .base64_encode("t", "e").base64_decode("e", "d")
+    assert(b64.toDF.select("d").head().getString(0) == "payload")
+    // split alias == split_str; flatmap explodes the array expr
+    val s = XDF(Seq(("a,b", 1)).toDF("t", "i"))
+    assert(s.split(Seq("t"), ",", "p").num_rows() == 2)
+    assert(s.flatmap(org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("t"), ","), "tok").num_rows() == 2)
+    // rows-and-cols pruning: rows where any col matches, then cols kept
+    val m = XDF(Seq(("x", ""), ("", "")).toDF("a", "b"))
+    val pruned = m.select_rows_and_cols_with_cond_exists(Seq("a", "b"),
+      (c: Column) => c === "x")
+    assert(pruned.num_rows() == 1 && pruned.getHeader == Seq("a"))
+    // serialize: url-encoded header + rows
+    assert(XDF(Seq(Tuple1("v 1")).toDF("c o l")).serialize_as_string()
+      == "c+o+l\nv+1")
+    // list-col decode strips the :url_encoded: tag and decodes elements
+    val lst = XDF(Seq(Tuple1("a%20x,b%26y")).toDF("c:url_encoded:mkstr"))
+      .resolve_url_encoded_list_cols()
+    assert(lst.getHeader == Seq("c:mkstr"))
+    assert(lst.toDF.head().getString(0) == "a x,b&y")
+    // window_aggregate delegation
+    val w = XDF(Seq(("t1", 1.0), ("t2", 2.0), ("t3", 3.0), ("t4", 4.0))
+      .toDF("w", "v")).window_aggregate("w", Seq("v"), Seq("sum"), 2)
+    assert(w.num_rows() == 2)
+  }
+
   test("string-typed eq_int matches 3.0 as 3") {
     val df = XDF(Seq(("3.0", "a"), ("3", "b"), ("4", "c")).toDF("x", "tag"))
     assert(df.eqInt("x", 3).toDF.count() == 2)
