@@ -197,19 +197,26 @@ object Dedup {
    * per map partial regardless of cluster size. The struct ordering key
    * reproduces the (score desc NULLS LAST, id asc) window order: struct
    * comparison puts a null score field below any value, so null-score
-   * rows lose to scored rows, and `-id` turns max into min on the tie
-   * key. Non-numeric id types fall back to a k=1 bounded-heap aggregate
-   * with the identical ordering (same no-straggler property).
+   * rows lose to scored rows, and negating the id turns max into min on
+   * the tie key. The negation runs in DECIMAL(20,0): `-Long.MinValue`
+   * overflows back to itself in long arithmetic, which would invert that
+   * one id's tie ordering. Non-integral id types fall back to a k=1
+   * bounded-heap aggregate with the identical ordering (same
+   * no-straggler property).
    */
   def electRepresentative(clustered: DataFrame, clusterCol: String,
                           scoreCol: String, idCol: String): DataFrame = {
     val cols = clustered.columns.toSeq
     val rowStruct = struct(cols.map(col): _*)
-    val idNumeric = clustered.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (idNumeric) {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idIntegral = clustered.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (idIntegral) {
+      val negId = -col(idCol).cast(org.apache.spark.sql.types.DecimalType(20, 0))
       clustered.groupBy(col(clusterCol))
-        .agg(max_by(rowStruct, struct(col(scoreCol), -col(idCol))).as("__best__"))
+        .agg(max_by(rowStruct, struct(col(scoreCol), negId)).as("__best__"))
         .select(col("__best__.*"))
         .select(cols.map(col): _*)
     } else {

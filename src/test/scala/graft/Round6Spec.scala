@@ -60,9 +60,13 @@ class Round6Spec extends SparkTestBase {
        i.toLong, s"p$i")
     }
     val base = spark.createDataFrame(rows).toDF("cluster", "score", "id", "payload")
-    // one cluster with ONLY null scores — the window's nulls-last edge
+    // one cluster with ONLY null scores — the window's nulls-last edge —
+    // and one with a Long.MinValue id tie, where a long-space negation
+    // would overflow back to MinValue and invert the tie ordering
     val allNull = Seq(("cnull", null.asInstanceOf[Integer], 9001L, "x"),
-      ("cnull", null.asInstanceOf[Integer], 9000L, "y"))
+      ("cnull", null.asInstanceOf[Integer], 9000L, "y"),
+      ("cmin", Integer.valueOf(1), Long.MinValue, "m"),
+      ("cmin", Integer.valueOf(1), 5L, "n"))
     val df = base.union(spark.createDataFrame(allNull)
       .toDF("cluster", "score", "id", "payload"))
 
