@@ -113,6 +113,20 @@ object Round6Queries {
       s.table(qn).orderBy("event_type", "user_bucket")
     }),
 
+    // ===== representative election, STRING-id fallback path: the k=1
+    // bounded-heap aggregate (max_by needs an integral id; string ids
+    // take the heap with the identical (score desc, id asc) order).
+    // Synthetic clusters so the oracle is a plain window, not a CC =====
+    "q_dedup_elect_str" -> ((s, dir) => {
+      val clustered = t(s, dir, "documents").select(
+        concat(lit("g"), col("doc_id") % 40).as("cluster_id"),
+        col("n_chars"),
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 7, "0")).as("doc_sid"),
+        col("source"))
+      operators.Dedup.electRepresentative(clustered, "cluster_id", "n_chars", "doc_sid")
+        .orderBy("cluster_id")
+    }),
+
     // ===== GLOBAL running sum — the distributed prefix-sum path (no
     // partition cols; the per-entity path is gated by q_cumulative_sum) =====
     "q_cumsum_global" -> ((s, dir) =>
@@ -203,6 +217,18 @@ object Round6Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
                 event_type, round(sum(value), 2) AS "value:sum"
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q_dedup_elect_str" ->
+      """WITH c AS (SELECT 'g' || (doc_id % 40) AS cluster_id, n_chars,
+                           'd' || lpad(doc_id::VARCHAR, 7, '0') AS doc_sid,
+                           source
+                    FROM documents),
+           ranked AS (SELECT cluster_id, n_chars, doc_sid, source,
+                        row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_sid ASC) AS rn
+                      FROM c)
+         SELECT cluster_id, n_chars, doc_sid, source FROM ranked
+         WHERE rn = 1 ORDER BY cluster_id""",
 
     "q_cumsum_global" ->
       """SELECT o_orderkey,
