@@ -127,6 +127,60 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated JOIN pipelines (q_fuzz_16..23) =====
+  // The scalar fuzz above never crosses a table boundary; these compose
+  // filter -> equi-join (differently-named FK -> PK keys, so the
+  // rkey-copy mechanism is exercised) -> optional aggregate. Left joins
+  // stay aggregate-free and sort on the left primary key (non-null,
+  // unique under FK->PK, so row order is total on both engines without
+  // NULLS FIRST/LAST divergence); aggregates run on inner joins where
+  // every group key is non-null.
+
+  private val nationTable = Table("nation",
+    Seq(Col("n_nationkey", "int"), Col("n_name", "str"),
+      Col("n_regionkey", "int")),
+    strPool = Map(
+      "n_name" -> Seq("NATION_0", "NATION_3", "NATION_7", "NATION_12",
+        "NATION_24")),
+    numPool = Map(
+      "n_nationkey" -> Seq(8L, 15L),
+      "n_regionkey" -> Seq(1L, 3L)))
+
+  /** (left table, right table, left key, right key, left primary key). */
+  private case class JoinPair(lt: Table, rt: Table, lk: String, rk: String,
+                              lpk: Seq[String])
+
+  private val joinPairs = Seq(
+    JoinPair(tables(0), tables(2), "o_custkey", "c_custkey", Seq("o_orderkey")),
+    JoinPair(tables(1), tables(0), "l_orderkey", "o_orderkey",
+      Seq("l_orderkey", "l_linenumber")),
+    JoinPair(tables(2), nationTable, "c_nationkey", "n_nationkey",
+      Seq("c_custkey")))
+
+  private val joinPipelines: Seq[(String, JoinPair, Seq[Filter], Seq[Filter],
+      String, Option[(Seq[String], Seq[(String, String)])])] = {
+    val rnd = new scala.util.Random(626262L)
+    (0 until 8).map { i =>
+      val p = joinPairs(rnd.nextInt(joinPairs.length))
+      val lFilters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, p.lt))
+      val rFilters = Seq.fill(rnd.nextInt(2))(genFilter(rnd, p.rt))
+      val joinType = if (rnd.nextBoolean()) "inner" else "left"
+      val agg =
+        if (joinType == "inner" && rnd.nextBoolean()) {
+          val keyPool = (p.lt.strPool.keys ++ p.rt.strPool.keys).toSeq.sorted
+          val keys = rnd.shuffle(keyPool).take(1 + rnd.nextInt(2))
+          val numCols = (p.lt.cols ++ p.rt.cols)
+            .filter(_.kind != "str").map(_.name)
+          val funcs = Seq("sum", "count", "min", "max")
+          val aggs = Seq.fill(1 + rnd.nextInt(2))(
+            (numCols(rnd.nextInt(numCols.length)), funcs(rnd.nextInt(funcs.length))))
+            .distinct
+          Some((keys, aggs))
+        } else None
+      (f"q_fuzz_${16 + i}%02d", p, lFilters, rFilters, joinType, agg)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipelines.map { case (name, t, filters, agg) =>
       name -> { (s: SparkSession, dir: String) =>
@@ -149,6 +203,29 @@ object FuzzQueries {
             rounded.toDF.orderBy(outCols.map(col): _*)
           case None =>
             filtered.toDF.orderBy(t.cols.map(c => col(c.name)): _*)
+        }
+      }
+    }.toMap ++ joinPipelines.map { case (name, p, lFilters, rFilters, joinType, agg) =>
+      name -> { (s: SparkSession, dir: String) =>
+        def side(t: Table, fs: Seq[Filter]): XDF =
+          fs.foldLeft(XDF(s.read.parquet(s"$dir/${t.name}.parquet")
+            .select(t.cols.map(c => col(c.name)): _*)))((x, f) => f.fn(x))
+        val l = side(p.lt, lFilters)
+        val r = side(p.rt, rFilters)
+        val joined =
+          if (joinType == "inner") l.innerJoin(r, Seq(p.lk), Seq(p.rk))
+          else l.leftJoin(r, Seq(p.lk), Seq(p.rk))
+        agg match {
+          case Some((keys, aggs)) =>
+            val agged = joined.aggregate(keys, aggs.map(_._1), aggs.map(_._2))
+            val rounded = aggs.foldLeft(agged) { case (x, (c, f)) =>
+              if (f == "count") x
+              else { val n = s"$c:$f"; x.transform(n, round(col(n), 2)) }
+            }
+            val outCols = keys ++ aggs.map { case (c, f) => s"$c:$f" }
+            rounded.toDF.orderBy(outCols.map(col): _*)
+          case None =>
+            joined.toDF.orderBy(p.lpk.map(col): _*)
         }
       }
     }.toMap
@@ -177,6 +254,38 @@ object FuzzQueries {
           s"""SELECT ${t.cols.map(_.name).mkString(", ")}
               FROM ${t.name}$where
               ORDER BY ${t.cols.map(_.name).mkString(", ")}"""
+      }
+      name -> sql
+    }.toMap ++ joinPipelines.map { case (name, p, lFilters, rFilters, joinType, agg) =>
+      def cte(alias: String, t: Table, fs: Seq[Filter]): String = {
+        val where =
+          if (fs.isEmpty) "" else s" WHERE ${fs.map(_.sql).mkString(" AND ")}"
+        s"$alias AS (SELECT ${t.cols.map(_.name).mkString(", ")} FROM ${t.name}$where)"
+      }
+      val withClause =
+        s"WITH ${cte("lf", p.lt, lFilters)}, ${cte("rf", p.rt, rFilters)}"
+      val joinKw = if (joinType == "inner") "JOIN" else "LEFT JOIN"
+      val from = s"FROM lf $joinKw rf ON lf.${p.lk} = rf.${p.rk}"
+      val sql = agg match {
+        case Some((keys, aggs)) =>
+          val aggExprs = aggs.map { case (c, f) =>
+            val alias = s""""$c:$f""""
+            f match {
+              case "count" => s"CAST(count($c) AS BIGINT) AS $alias"
+              case "sum"   => s"round(sum(CAST($c AS DOUBLE)), 2) AS $alias"
+              case "min"   => s"round(min(CAST($c AS DOUBLE)), 2) AS $alias"
+              case "max"   => s"round(max(CAST($c AS DOUBLE)), 2) AS $alias"
+            }
+          }
+          val outCols = keys ++ aggs.map { case (c, f) => s""""$c:$f"""" }
+          s"""$withClause
+              SELECT ${(keys ++ aggExprs).mkString(", ")} $from
+              GROUP BY ${keys.mkString(", ")}
+              ORDER BY ${outCols.mkString(", ")}"""
+        case None =>
+          s"""$withClause
+              SELECT lf.*, rf.* $from
+              ORDER BY ${p.lpk.mkString(", ")}"""
       }
       name -> sql
     }.toMap
