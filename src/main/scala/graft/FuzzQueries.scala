@@ -131,10 +131,13 @@ object FuzzQueries {
   // The scalar fuzz above never crosses a table boundary; these compose
   // filter -> equi-join (differently-named FK -> PK keys, so the
   // rkey-copy mechanism is exercised) -> optional aggregate. Left joins
-  // stay aggregate-free and sort on the left primary key (non-null,
-  // unique under FK->PK, so row order is total on both engines without
-  // NULLS FIRST/LAST divergence); aggregates run on inner joins where
-  // every group key is non-null.
+  // stay aggregate-free and sort on ALL left columns — non-null on both
+  // engines (no NULLS FIRST/LAST divergence), and total in output terms:
+  // the right side joins FK -> PK (at most one match), so every output
+  // row is a function of its left row, and rows tying on every left
+  // column are identical. (Left primary keys alone would NOT do: the
+  // synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs.)
+  // Aggregates run on inner joins where every group key is non-null.
 
   private val nationTable = Table("nation",
     Seq(Col("n_nationkey", "int"), Col("n_name", "str"),
@@ -146,16 +149,13 @@ object FuzzQueries {
       "n_nationkey" -> Seq(8L, 15L),
       "n_regionkey" -> Seq(1L, 3L)))
 
-  /** (left table, right table, left key, right key, left primary key). */
-  private case class JoinPair(lt: Table, rt: Table, lk: String, rk: String,
-                              lpk: Seq[String])
+  /** (left table, right table, left key, right key). */
+  private case class JoinPair(lt: Table, rt: Table, lk: String, rk: String)
 
   private val joinPairs = Seq(
-    JoinPair(tables(0), tables(2), "o_custkey", "c_custkey", Seq("o_orderkey")),
-    JoinPair(tables(1), tables(0), "l_orderkey", "o_orderkey",
-      Seq("l_orderkey", "l_linenumber")),
-    JoinPair(tables(2), nationTable, "c_nationkey", "n_nationkey",
-      Seq("c_custkey")))
+    JoinPair(tables(0), tables(2), "o_custkey", "c_custkey"),
+    JoinPair(tables(1), tables(0), "l_orderkey", "o_orderkey"),
+    JoinPair(tables(2), nationTable, "c_nationkey", "n_nationkey"))
 
   private val joinPipelines: Seq[(String, JoinPair, Seq[Filter], Seq[Filter],
       String, Option[(Seq[String], Seq[(String, String)])])] = {
@@ -225,7 +225,7 @@ object FuzzQueries {
             val outCols = keys ++ aggs.map { case (c, f) => s"$c:$f" }
             rounded.toDF.orderBy(outCols.map(col): _*)
           case None =>
-            joined.toDF.orderBy(p.lpk.map(col): _*)
+            joined.toDF.orderBy(p.lt.cols.map(c => col(c.name)): _*)
         }
       }
     }.toMap
@@ -285,7 +285,7 @@ object FuzzQueries {
         case None =>
           s"""$withClause
               SELECT lf.*, rf.* $from
-              ORDER BY ${p.lpk.mkString(", ")}"""
+              ORDER BY ${p.lt.cols.map(_.name).mkString(", ")}"""
       }
       name -> sql
     }.toMap

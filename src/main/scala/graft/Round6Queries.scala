@@ -148,8 +148,12 @@ object Round6Queries {
       // >64KB generated method never JITs (measured 17s at 60k rows). The
       // deterministic sort+limit keeps the fixture the same size at every
       // scale factor.
+      // the limit order must DETERMINE the output row: (l_orderkey,
+      // l_linenumber) is not unique in the fixture, so the boundary sort
+      // carries the two value columns the wide projection derives from
       val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0)
-        .orderBy("l_orderkey", "l_linenumber").limit(3000)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(3000)
       val wide = base.select(
         col("l_orderkey") +: col("l_linenumber") +:
           ((1 to 499).map(i => round(col("l_quantity") * i, 2).as(s"m:q$i")) ++
@@ -160,7 +164,8 @@ object Round6Queries {
         .dropEmptyCols()
         .renamePrefix("m", "metric")
         .select("l_orderkey", "l_linenumber", "metric:q7", "metric:q499", "t3")
-        .sort(Seq("l_orderkey", "l_linenumber")).toDF
+        .sort(Seq("l_orderkey", "l_linenumber", "metric:q7", "metric:q499",
+          "t3")).toDF
     })
   )
 
@@ -243,7 +248,8 @@ object Round6Queries {
                 round(l_quantity * 499, 2) AS "metric:q499",
                 l_returnflag || '3'        AS t3
          FROM (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0
-               ORDER BY l_orderkey, l_linenumber LIMIT 3000)
-         ORDER BY l_orderkey, l_linenumber"""
+               ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+               LIMIT 3000)
+         ORDER BY l_orderkey, l_linenumber, "metric:q7", "metric:q499", t3"""
   )
 }

@@ -73,10 +73,14 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_mktsegment")
         .sort(Seq("c_custkey")).toDF),
 
+    // NOTE on lineitem sorts: (l_orderkey, l_linenumber) is NOT unique in
+    // the synthetic fixture (dup pairs at every SF) — every gate must
+    // sort by a set of columns that DETERMINES its output row, or tie
+    // order diverges between engines and flakes the row-order compare.
     "q_filter_gt_float" -> ((s, dir) =>
       x(s, dir, "lineitem").gtFloat("l_quantity", 45.0)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .sort(Seq("l_orderkey", "l_linenumber")).toDF),
+        .sort(Seq("l_orderkey", "l_linenumber", "l_quantity")).toDF),
 
     "q_filter_in" -> ((s, dir) =>
       x(s, dir, "orders").valuesIn("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
@@ -91,7 +95,7 @@ object SparkEntry {
         .transform("ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
         .where(col("ship_day") >= "1996-01-01" && col("ship_day") < "1997-01-01")
         .select("l_orderkey", "l_linenumber", "ship_day")
-        .sort(Seq("l_orderkey", "l_linenumber")).toDF),
+        .sort(Seq("l_orderkey", "l_linenumber", "ship_day")).toDF),
 
     "q_filter_multi_col_exists" -> ((s, dir) =>
       x(s, dir, "lineitem")
@@ -105,7 +109,7 @@ object SparkEntry {
         .ratio("disc_tax_ratio", "l_discount", "l_tax", default = -1.0)
         .transform("disc_tax_ratio", round(col("disc_tax_ratio"), 4))
         .select("l_orderkey", "l_linenumber", "disc_tax_ratio")
-        .sort(Seq("l_orderkey", "l_linenumber")).toDF),
+        .sort(Seq("l_orderkey", "l_linenumber", "disc_tax_ratio")).toDF),
 
     "q_transform_log" -> ((s, dir) =>
       x(s, dir, "orders")
@@ -120,7 +124,7 @@ object SparkEntry {
       x(s, dir, "lineitem").capMaxInline("l_quantity", 25.0)
         .capMinInline("l_quantity", 5.0)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .sort(Seq("l_orderkey", "l_linenumber")).toDF),
+        .sort(Seq("l_orderkey", "l_linenumber", "l_quantity")).toDF),
 
     "q_if_else" -> ((s, dir) =>
       x(s, dir, "orders")
@@ -359,7 +363,8 @@ object SparkEntry {
 
     "q_filter_gt_float" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber""",
+         WHERE l_quantity > 45.0
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
     "q_filter_in" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
@@ -373,7 +378,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, ship_day""",
 
     "q_filter_multi_col_exists" ->
       """SELECT l_orderkey, l_linenumber, l_tax, l_discount FROM lineitem
@@ -383,7 +388,7 @@ object SparkEntry {
     "q_transform_ratio" ->
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN l_tax = 0 THEN -1.0 ELSE round(l_discount / l_tax, 4) END AS disc_tax_ratio
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_tax_ratio""",
 
     "q_transform_log" ->
       """SELECT o_orderkey, round(ln(1 + o_totalprice), 6) AS log_price
@@ -396,7 +401,7 @@ object SparkEntry {
     "q_cap_clamp" ->
       """SELECT l_orderkey, l_linenumber,
                 greatest(least(l_quantity, 25.0), 5.0) AS l_quantity
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
     "q_if_else" ->
       """SELECT o_orderkey,
