@@ -177,7 +177,9 @@ package object compat {
     def ge_str(c: String, v: String): XDF = x.geStr(c, v)
     def le_str(c: String, v: String): XDF = x.leStr(c, v)
     def not_eq(c: String, v: String): XDF = x.notEqStr(c, v)
-    def is_nonzero(c: String): XDF = x.isNonzeroInt(c)
+    // Deprecated in the reference (dataframe.py:304-307) and delegates to
+    // the FLOAT test there — the int path would truncate "0.5" to 0 and drop it.
+    def is_nonzero(c: String): XDF = x.isNonzeroFloat(c)
     def not_match(c: String, p: String): XDF = x.notRegexMatch(c, p)
     def cap_min(c: String, v: Double): XDF = x.capMinInline(c, v)
     def cap_max(c: String, v: Double): XDF = x.capMaxInline(c, v)
@@ -196,10 +198,16 @@ package object compat {
     def sample_rows(n: Int, seed: Long = 0L): XDF = sample_n(n, seed)
     def sample_n_with_replacement(n: Int, seed: Long = 0L): XDF =
       XDF(S.sampleNWithReplacement(x.toDF, n, seed))
-    def sample_with_replacement(n: Int, seed: Long = 0L): XDF =
-      sample_n_with_replacement(n, seed)
     def sample_n_without_replacement(n: Int, seed: Long = 0L): XDF = sample_n(n, seed)
-    def sample_without_replacement(n: Int, seed: Long = 0L): XDF = sample_n(n, seed)
+    // The reference forms take a sampling RATIO and delegate to sample()
+    // (dataframe.py:2860-2866); with_replacement=True raises there
+    // (dataframe.py:2838-2839) — mirror both so a port keeps its meaning.
+    def sample_without_replacement(ratio: Double, seed: Long = 0L): XDF =
+      sample(ratio, seed)
+    def sample_with_replacement(ratio: Double, seed: Long = 0L): XDF =
+      throw new UnsupportedOperationException(
+        "sample_with_replacement: ratio-based sampling with replacement is " +
+          "not implemented (matches the reference); use sample_n_with_replacement(n)")
     def sample_n_with_warn(limit: Int, seed: Long = 0L): XDF =
       XDF(S.sampleNWithWarn(x.toDF, limit, seed))
     def sample_class(c: String, v: String, ratio: Double, seed: Long,
@@ -216,12 +224,16 @@ package object compat {
       XDF(S.sampleGroupByColValue(x.toDF, g, c, v, ratio, seed))
     def sample_group_by_key(g: Seq[String], ratio: Double, seed: Long = 0L): XDF =
       XDF(S.sampleGroupByKey(x.toDF, g, ratio, seed))
+    // The reference defaults use_approx=True and dispatches to the approx
+    // variant (dataframe.py:3181-3189); the exact path is opt-out.
     def sample_group_by_max_uniq_values(g: Seq[String], c: String, maxUniq: Int,
-                                        seed: Long = 0L): XDF =
-      XDF(S.sampleGroupByMaxUniqValues(x.toDF, g, c, maxUniq, seed))
+                                        seed: Long = 0L,
+                                        use_approx: Boolean = true): XDF =
+      if (use_approx) XDF(S.sampleGroupByMaxUniqValuesApprox(x.toDF, g, c, maxUniq, seed))
+      else XDF(S.sampleGroupByMaxUniqValues(x.toDF, g, c, maxUniq, seed))
     def sample_group_by_max_uniq_values_exact(g: Seq[String], c: String,
                                               maxUniq: Int, seed: Long = 0L): XDF =
-      sample_group_by_max_uniq_values(g, c, maxUniq, seed)
+      XDF(S.sampleGroupByMaxUniqValues(x.toDF, g, c, maxUniq, seed))
     def sample_group_by_max_uniq_values_approx(g: Seq[String], c: String,
                                                maxUniq: Int, seed: Long = 0L): XDF =
       XDF(S.sampleGroupByMaxUniqValuesApprox(x.toDF, g, c, maxUniq, seed))

@@ -581,7 +581,7 @@ case class XDF(df: DataFrame) {
         .localCheckpoint()
       val totals = sorted.groupBy(col("__pid__"))
         .agg(sum(col(c).cast(DoubleType)).as("__t__"),
-          count(col(c)).as("__n__"))
+          count(col(c).cast(DoubleType)).as("__n__"))
         .collect()
         .map(r => r.getInt(0) ->
           ((if (r.isNullAt(1)) 0.0 else r.getDouble(1)), r.getLong(2)))
@@ -596,7 +596,9 @@ case class XDF(df: DataFrame) {
         .orderBy(orderCols.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val localSum = sum(col(c).cast(DoubleType)).over(w)
-      val localCnt = count(col(c)).over(w)
+      // Count the CAST column: a non-null string whose double cast is null
+      // must not count as "a value preceded", matching the window branch.
+      val localCnt = count(col(c).cast(DoubleType)).over(w)
       XDF(sorted.join(broadcast(offsDf), Seq("__pid__"), "left")
         .withColumn(newCol,
           when(coalesce(col("__offn__"), lit(0L)) + localCnt > 0,
