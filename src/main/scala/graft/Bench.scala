@@ -43,31 +43,53 @@ object Bench {
         graft.core.JsonFlattener.releaseInferredCaches()
         name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
       }
-    // best of 2 passes: first pass absorbs page-cache/JIT warm-up noise.
+    // best of N passes (default 3): the first pass absorbs page-cache/JIT
+    // warm-up noise, and recording every pass lets round-over-round trend
+    // lines separate real regressions from this machine's ±20-30% jitter.
     // (time, rows) travel together per pass — the reported rows always
     // come from the pass whose time was selected, and a query that fails
-    // in EITHER pass reports the sentinel + rows=-1 (never a valid-looking
+    // in ANY pass reports the sentinel + rows=-1 (never a valid-looking
     // mixed record).
-    val p1 = timeAll().toMap
-    val p2 = timeAll().toMap
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val allPasses = (1 to passes).map(_ => timeAll().toMap)
     val results = SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted.map { k =>
-      val (t1, n1) = p1(k); val (t2, n2) = p2(k)
-      if (n1 < 0 || n2 < 0) (k, FailSentinel, -1L)
-      else if (t1 <= t2) (k, t1, n1) else (k, t2, n2)
+      val ps = allPasses.map(_(k))
+      val times = ps.map(_._1)
+      if (ps.exists(_._2 < 0)) (k, FailSentinel, -1L, times)
+      else { val (bt, bn) = ps.minBy(_._1); (k, bt, bn, times) }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // result row count per query: a sanity signal alongside the timing
     // (a fast-but-empty result would otherwise look like a win)
-    val rows = results.map { case (k, _, c) => "\"" + k + "\":" + c }
+    val rows = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // total excludes fail sentinels — one failed query must not turn the
     // headline value into 1e9 garbage; `failed` reports the count instead
     val failed = results.count(_._3 < 0)
     val total = results.filter(_._3 >= 0).map(_._2).sum
+    // FULL artifact to a file: the driver's stdout capture truncates the
+    // one-liner, losing the head of the queries map every round — the file
+    // keeps every query's best time, rows, and all per-pass times so
+    // per-query regressions can be diffed across rounds.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    val perQuery = results.map { case (k, best, n, times) =>
+      val spread = if (times.min > 0) (times.max - times.min) / times.min else 0.0
+      s""""$k":{"best":$best,"rows":$n,"times":[${times.mkString(",")}],"spread":${f"$spread%.3f"}}"""
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"queries":$perQuery}"""
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     // per-query times print LAST in the line: the driver's capture keeps
     // a truncated line's TAIL, so the queries map is what must survive
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"rows":$rows,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"rows":$rows,"queries":$qs}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
