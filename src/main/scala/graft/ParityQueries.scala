@@ -15,12 +15,8 @@ import graft.sources.TsvIO
  */
 object ParityQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -17,7 +17,7 @@ import graft.operators.{Dedup, GraphOps}
 object Round2Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   /** Planted corpus: one hot cluster of `hot` identical docs plus
     * `distinctN` mutually-dissimilar docs (disjoint shingle sets). The

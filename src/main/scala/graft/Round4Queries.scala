@@ -15,7 +15,7 @@ import graft.streaming.StreamOps
 object Round4Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   /** Dense cyclic event graph derived from orders (custkey/orderkey mod
     * rings), with a bounded ts so first-incoming minima are stable. */
@@ -74,7 +74,7 @@ object Round4Queries {
     "q_sessionize_batch" -> ((s, dir) => {
       val e = t(s, dir, "events").select(
         col("user_id"),
-        expr("ts div 1000000").as("ts_ms"),
+        Tables.tsMillis("ts").as("ts_ms"),
         round(col("value") * 100).as("cents"))
       StreamOps.sessionizeBatch(e, "user_id", "ts_ms", "cents", 40000000L)
         .orderBy("key", "session_start")

@@ -14,7 +14,7 @@ import graft.core.XDF
 object Round6Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   /** Pseudo-array frame in the reference's flattened convention: order
     * facts as positional slots `slot[i]` / nested `line[i].field`. */
@@ -63,11 +63,7 @@ object Round6Queries {
     // the emitted windows must match DuckDB's batch GROUP BY. This
     // gates the streaming ENGINE path (previously law-tested only) =====
     "q_stream_window_agg" -> ((s, dir) => {
-      val evRaw = s.read.parquet(s"$dir/events.parquet")
-      val ev = (if (evRaw.schema("ts").dataType ==
-                    org.apache.spark.sql.types.LongType)
-                  evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-                else evRaw)
+      val ev = t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
           col("event_type"), col("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_swa").toString
@@ -92,11 +88,7 @@ object Round6Queries {
     // arrival order, but the surviving KEY SET is exactly the distinct
     // keys, which DuckDB checks =====
     "q_stream_dedup" -> ((s, dir) => {
-      val evRaw = s.read.parquet(s"$dir/events.parquet")
-      val ev = (if (evRaw.schema("ts").dataType ==
-                    org.apache.spark.sql.types.LongType)
-                  evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-                else evRaw)
+      val ev = t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
           col("event_type"), (col("user_id") % 100).as("user_bucket"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString

@@ -14,14 +14,8 @@ import graft.core._
  */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), read as long nanos (see
-    // Verify session config); convert to a real timestamp column
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
   private def x(spark: SparkSession, dir: String, name: String): XDF =
     XDF(t(spark, dir, name))
 

@@ -50,9 +50,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("events analytics: enrich as-of, window, top-k per key") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts")))
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val hourly = XDF(graft.core.WindowOps.tumblingTimeAggregate(
         events, "ts", "1 hour", Seq("event_type"), Seq("value"), Seq("sum")))
       .sampleGroupByTopk(Seq("event_type"), "value:sum", 2)

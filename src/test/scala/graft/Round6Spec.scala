@@ -39,13 +39,22 @@ class Round6Spec extends SparkTestBase {
   test("plan audit: no gate windows outside the audited whitelist") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // a gate whose plan won't even ANALYZE must fail this audit by name,
+    // not abort the suite and mask regressions in the other 142 gates
+    val broken = scala.collection.mutable.ListBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val plan = q(spark, dir).queryExecution.optimizedPlan.toString
-        if (plan.contains("windowspecdefinition") && !windowWhitelist.contains(name))
-          Some(name)
-        else None
+        scala.util.Try(q(spark, dir).queryExecution.optimizedPlan.toString) match {
+          case scala.util.Failure(e) =>
+            broken += s"$name (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)})"
+            None
+          case scala.util.Success(plan) =>
+            if (plan.contains("windowspecdefinition") && !windowWhitelist.contains(name))
+              Some(name)
+            else None
+        }
     }
+    assert(broken.isEmpty, s"gates whose plan failed to analyze: $broken")
     assert(offenders.isEmpty,
       s"gates planning an unaudited window (straggler risk at scale): $offenders")
   }
