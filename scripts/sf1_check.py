@@ -103,7 +103,7 @@ def check_cc_gate(con, sql, name, out_dir):
     patched = (sql[:m.start()]
                + "comp AS (SELECT id, component FROM __pycc)"
                + sql[m.end():])
-    err = compare(con, name, f"{out_dir}/{name}", con.execute(patched))
+    err = compare(con, name, f"{out_dir}/{name}", con.sql(patched))
     con.unregister("__pycc")
     return err
 
@@ -119,7 +119,7 @@ def check_graph_cc(con, sql, name, out_dir):
     exp = pd.DataFrame(sorted(comp.items()), columns=["node_id", "component"])
     con.register("__pycc", exp)
     err = compare(con, name, f"{out_dir}/{name}",
-                  con.execute("SELECT node_id, component FROM __pycc ORDER BY node_id"))
+                  con.sql("SELECT node_id, component FROM __pycc ORDER BY node_id"))
     con.unregister("__pycc")
     return err
 
@@ -130,7 +130,7 @@ def check_pack_greedy(con, sql, name, out_dir, sf_dir):
             WHERE doc_id % 2 = 0 ORDER BY doc_id""").fetchall()
     out, b, used = [], 0, 0
     for doc_id, n_chars in rows:
-        w = max(0, n_chars)
+        w = max(0, n_chars or 0)
         if used > 0 and used + w > 2000:
             b, used = b + 1, w
         else:
@@ -140,7 +140,7 @@ def check_pack_greedy(con, sql, name, out_dir, sf_dir):
     exp = pd.DataFrame(out, columns=["doc_id", "n_chars", "bin_id"])
     con.register("__pypack", exp)
     err = compare(con, name, f"{out_dir}/{name}",
-                  con.execute("SELECT * FROM __pypack ORDER BY doc_id"))
+                  con.sql("SELECT * FROM __pypack ORDER BY doc_id"))
     con.unregister("__pypack")
     return err
 
