@@ -48,11 +48,30 @@ object JsonFlattener {
     * corpus pass would double every explode_json). Pass 0 for a full
     * scan, or supply the schema explicitly to skip inference entirely. */
   def inferSchema(df: DataFrame, jsonCol: String,
-                  sampleRows: Int = 1000): StructType = {
+                  sampleRows: Int = 1000, maxFields: Int = 10000): StructType = {
     import df.sparkSession.implicits._
     val src = if (sampleRows > 0) df.select(col(jsonCol)).limit(sampleRows)
               else df.select(col(jsonCol))
-    df.sparkSession.read.json(src.as[String]).schema
+    val sch = df.sparkSession.read.json(src.as[String]).schema
+    // The row sample bounds the SCAN, not the KEY SPACE: one row holding
+    // a million-key object still yields a million-field schema, which
+    // OOMs the driver and the projection downstream. Fail loudly.
+    val leaves = countLeaves(sch)
+    if (leaves > maxFields)
+      throw new IllegalStateException(
+        s"explode_json: inferred schema has $leaves leaf fields " +
+          s"(> maxFields=$maxFields) — a per-key column layout is not " +
+          "viable for this payload. Pass schema= with the fields you " +
+          "need (acceptedCols prunes the rest), or raise maxFields " +
+          "deliberately.")
+    sch
+  }
+
+  private def countLeaves(dt: DataType): Int = dt match {
+    case st: StructType => st.fields.map(f => countLeaves(f.dataType)).sum
+    case at: ArrayType  => countLeaves(at.elementType)
+    case mt: MapType    => countLeaves(mt.valueType)
+    case _              => 1
   }
 
   /**

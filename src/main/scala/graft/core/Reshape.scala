@@ -38,17 +38,30 @@ object Reshape {
    */
   def explodeMaps(df: DataFrame, cols: Seq[String],
                   f: Map[String, String] => Seq[Map[String, String]],
-                  prefix: String, collapse: Boolean = true): DataFrame = {
+                  prefix: String, collapse: Boolean = true,
+                  maxKeys: Int = 10000): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol}
     val inCols = cols
     def rowToMap(r: Row): Map[String, String] =
       inCols.zipWithIndex.map { case (c, i) =>
         c -> Option(r.get(r.fieldIndex(c))).map(_.toString).getOrElse("") }.toMap
-    // pass 1: discover output keys (distributed agg of key sets)
+    // pass 1: discover output keys (distributed agg of key sets). The
+    // collect is what makes schema-from-data possible at all, so the key
+    // count must be bounded: a pathological generator emitting millions
+    // of distinct keys would OOM the driver AND produce a plan with
+    // millions of columns. Fail loudly instead, over-fetching by one row
+    // so "hit the cap exactly" and "exceeded it" are distinguishable.
     import df.sparkSession.implicits._
-    val keys = df.select(inCols.map(fcol): _*)
+    val discovered = df.select(inCols.map(fcol): _*)
       .flatMap(r => f(rowToMap(r)).flatMap(_.keys))(Encoders.STRING)
-      .distinct().collect().sorted.toSeq
+      .distinct().limit(maxKeys + 1).collect()
+    if (discovered.length > maxKeys)
+      throw new IllegalStateException(
+        s"explode: schema-from-data discovered more than $maxKeys distinct " +
+          "output keys — a schema this wide is not viable as columns. " +
+          "Declare the output schema with explodeRows(df, gen, outSchema) " +
+          "(single-pass, no discovery), or raise maxKeys deliberately.")
+    val keys = discovered.sorted.toSeq
     // pass 2: declared-schema fan-out
     val keep = if (collapse) df.columns.filterNot(inCols.contains).toSeq
                else df.columns.toSeq

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/**
+ * Round-9 plan audits: scans must keep their pushdown. The window audit
+ * (Round6Spec) freezes the shuffle story; this freezes the SCAN story —
+ * a gate that filters a parquet read must show those filters in
+ * `PushedFilters`, a gate that projects must show a pruned `ReadSchema`,
+ * and the date-partitioned scan must prune partitions. At 100 TB these
+ * are the difference between reading terabytes and reading everything;
+ * any regression fails here by gate name.
+ */
+class Round9Spec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // AQE wraps the physical plan in AdaptiveSparkPlanExec, whose collect
+  // does not descend into the wrapped plan — unwrap every adaptive layer
+  private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+      }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def gateScans(name: String): Seq[FileSourceScanExec] =
+    fileScans(SparkEntry.queries(name)(spark, dir))
+
+  /** gate -> (column that must appear in PushedFilters,
+    *          superset of data columns the scan may read) */
+  private val scanExpectations: Seq[(String, Option[String], Set[String])] = Seq(
+    ("q_filter_gt_float", Some("l_quantity"),
+      Set("l_orderkey", "l_linenumber", "l_quantity")),
+    ("q_filter_in", Some("o_orderpriority"),
+      Set("o_orderkey", "o_orderpriority")),
+    ("q_filter_eq_str", Some("c_mktsegment"),
+      Set("c_custkey", "c_name", "c_mktsegment")),
+    ("q_filter_range", Some("l_shipdate"),
+      Set("l_orderkey", "l_linenumber", "l_shipdate")),
+    // prune-only gates: no scan-translatable filter, but the projection
+    // must reach the reader — 2 of part's 9 cols, 4 of lineitem's 16
+    ("q_select", None, Set("p_partkey", "p_name")),
+    ("q_select_regex", None,
+      Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")),
+    // the 1000 synthesized wide columns derive from 4 source columns;
+    // the scan must read only those 4
+    ("q_wide_cols", None,
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+  )
+
+  test("plan audit: filter pushdown + column pruning reach the parquet scan") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val problems = scanExpectations.flatMap { case (gate, pushedCol, allowedCols) =>
+      val scans = gateScans(gate)
+      if (scans.isEmpty) Seq(s"$gate: no FileSourceScanExec in executed plan")
+      else {
+        val pushErr = pushedCol.flatMap { c =>
+          val hit = scans.exists(_.metadata.get("PushedFilters").exists { pf =>
+            pf != "[]" && pf.contains(c)
+          })
+          if (hit) None
+          else Some(s"$gate: no pushed filter on '$c' " +
+            s"(PushedFilters=${scans.map(_.metadata.getOrElse("PushedFilters", "?")).mkString("; ")})")
+        }
+        // every scan the gate plans must read only allowed data columns
+        // (identity: the gate reads ONE table; tmp-dir side reads none)
+        val pruneErr = scans.flatMap { s =>
+          val read = s.requiredSchema.fieldNames.toSet
+          if (read.subsetOf(allowedCols)) None
+          else Some(s"$gate: scan reads unpruned columns ${read -- allowedCols} " +
+            s"(ReadSchema=${read.toSeq.sorted.mkString(",")})")
+        }
+        pushErr.toSeq ++ pruneErr
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
+  // ===== schema-from-data probes are capped =====
+  // Both discovery paths (explodeMaps' key union, explode_json's inferred
+  // schema) must refuse a pathological key space instead of OOMing the
+  // driver; the error names the declared-schema alternative.
+
+  test("explodeMaps refuses a key space wider than maxKeys") {
+    import spark.implicits._
+    val df = (0 until 50).toDF("i")
+    val ex = intercept[IllegalStateException] {
+      graft.core.Reshape.explodeMaps(df, Seq("i"),
+        m => Seq((0 until 5).map(j => s"k${m("i")}_$j" -> "1").toMap),
+        "e", maxKeys = 100).count()
+    }
+    assert(ex.getMessage.contains("explodeRows"))
+    // under the cap, the same generator runs: 50 rows, 250 columns
+    val ok = graft.core.Reshape.explodeMaps(df, Seq("i"),
+      m => Seq((0 until 5).map(j => s"k${m("i")}_$j" -> "1").toMap),
+      "e", maxKeys = 250)
+    assert(ok.columns.length == 250 && ok.count() == 50)
+  }
+
+  test("explode_json inference refuses a payload wider than maxFields") {
+    import spark.implicits._
+    val wide = (0 until 200).map(i => s""""k$i":1""").mkString("{", ",", "}")
+    val df = Seq(wide).toDF("js")
+    val ex = intercept[IllegalStateException] {
+      graft.core.JsonFlattener.inferSchema(df, "js", maxFields = 100)
+    }
+    assert(ex.getMessage.contains("schema="))
+    assert(graft.core.JsonFlattener.inferSchema(df, "js", maxFields = 200)
+      .fields.length == 200)
+  }
+
+  test("plan audit: scanByDateRange prunes partitions at the scan") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val scans = gateScans("q_etl_scan")
+    assert(scans.nonEmpty, "q_etl_scan planned no file scan")
+    val pruned = scans.exists { s =>
+      s.partitionFilters.exists(_.references.exists(_.name == "dt"))
+    }
+    assert(pruned,
+      s"q_etl_scan: no partition filter on 'dt' — unselected days would be " +
+        s"listed and read (partitionFilters=${scans.map(_.partitionFilters).mkString("; ")})")
+  }
+}
