@@ -175,13 +175,13 @@ def check_ivf_topk(got):
     if len(per_q) != 10 or (per_q != 3).any():
         return f"ROWS: expected 3 rows x 10 queries, got {dict(per_q)}"
     recall = hits / total
-    # honest bound for the gate config (8 cells, 2 probes, seed 42):
-    # measured 0.667 at sf0.01 / 0.767 at sf0.001 for the gate seed, and
-    # 0.567..0.867 over 20 seed draws across both scales; a mistuned
-    # index (random cells) would score ~nProbes/nClusters = 0.25.
-    # 4-probe config measures 0.90 -- raise the bound with the probes.
-    if recall < 0.55:
-        return f"VALUES: IVF recall {recall:.2f} < 0.55 vs brute-force top-3"
+    # honest bound for the gate config (8 cells, 4 probes, seed 42):
+    # round 9 measured 1.000 at sf0.001 and 0.900 at sf0.01 for the gate
+    # seed (the 2-probe config measured 0.667-0.767 under the old 0.55
+    # bound); a mistuned index (random cells) would score
+    # ~nProbes/nClusters = 0.5, comfortably below the bound.
+    if recall < 0.85:
+        return f"VALUES: IVF recall {recall:.2f} < 0.85 vs brute-force top-3"
     return None
 
 

@@ -296,7 +296,7 @@ object TrainingQueries {
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding")),
           "vec_id", "embedding", "query_id", k = 3,
-          nClusters = 8, nProbes = 2)
+          nClusters = 8, nProbes = 4)
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
