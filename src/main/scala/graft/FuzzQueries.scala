@@ -181,7 +181,138 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated RESHAPE pipelines (q_fuzz_24..31) =====
+  // The §2.8 family has the widest option surface and until round 9 only
+  // example-based gates. These compose filter -> reshape -> optional
+  // aggregate, cycling the op by index so every family is exercised:
+  //   op 0: concat_ws -> split_str row fan-out (parts re-derived by
+  //         DuckDB string_split + unnest);
+  //   op 1: derived count -> replicate_rows (DuckDB range() join);
+  //   op 2: to_json(struct) -> explode_json with a DECLARED schema
+  //         (DuckDB re-derives the flattened columns from the source).
+  // Sort totality: non-agg outputs sort on EVERY output column — fan-out
+  // duplicates are bit-identical rows, so ties are harmless; aggregates
+  // sort on their group keys. Separators come from a pool disjoint from
+  // the TPC-H value alphabet ('-' and '_' appear in data; '|' '#' ';'
+  // do not). Float columns are excluded from string round-trips so
+  // engine float-formatting differences can't leak into the compare.
+
+  private case class ReshapeCase(
+      name: String, t: Table, filters: Seq[Filter], op: Int,
+      id: Col, parts: Seq[Col], sep: String, cntSrc: Col, mod: Long,
+      jsonA: Col, jsonB: Col, aggKey: Option[String])
+
+  private val reshapeTables = tables :+ nationTable
+
+  private val reshapePipelines: Seq[ReshapeCase] = {
+    val rnd = new scala.util.Random(828282L)
+    (0 until 8).map { i =>
+      val t = reshapeTables(rnd.nextInt(reshapeTables.length))
+      val filters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, t))
+      val nonFloat = t.cols.filter(_.kind != "float")
+      val ints = t.cols.filter(_.kind == "int")
+      val strs = t.cols.filter(_.kind == "str")
+      val id = ints(rnd.nextInt(ints.length))
+      val parts = rnd.shuffle(nonFloat).take(2 + rnd.nextInt(2))
+      val sep = Seq("|", "#", ";")(rnd.nextInt(3))
+      val cntSrc = ints(rnd.nextInt(ints.length))
+      val mod = 2L + rnd.nextInt(3)
+      val jsonA = ints(rnd.nextInt(ints.length))
+      val jsonB = strs(rnd.nextInt(strs.length))
+      val aggKey = if (i >= 6) Some(strs(rnd.nextInt(strs.length)).name) else None
+      ReshapeCase(f"q_fuzz_${24 + i}%02d", t, filters, i % 3,
+        id, parts, sep, cntSrc, mod, jsonA, jsonB, aggKey)
+    }
+  }
+
+  private def reshapeQuery(c: ReshapeCase)(s: SparkSession, dir: String): DataFrame = {
+    val base = filtersOn(s, dir, c.t, c.filters)
+    c.op match {
+      case 0 => // split_str
+        val withS = base.toDF.select(col(c.id.name),
+          concat_ws(c.sep, c.parts.map(p => col(p.name).cast("string")): _*).as("s"))
+        val split = XDF(graft.core.Reshape.splitStr(withS, Seq("s"), c.sep, "p"))
+          .select(c.id.name, "p:s")
+        c.aggKey match {
+          case Some(_) => // group on the id column (strs may not survive the projection)
+            split.aggregate(Seq(c.id.name), Seq("p:s", "p:s"), Seq("count", "uniq_count"))
+              .toDF.orderBy(col(c.id.name))
+          case None =>
+            split.toDF.orderBy(col(c.id.name), col("p:s"))
+        }
+      case 1 => // replicate_rows
+        val withCnt = base.toDF.select(col(c.id.name),
+          (col(c.cntSrc.name) % c.mod).cast("long").as("cnt"))
+        val repl = XDF(graft.core.Reshape.replicateRows(withCnt, "cnt"))
+        c.aggKey match {
+          case Some(_) =>
+            val agged = repl.aggregate(Seq(c.id.name), Seq("cnt", "cnt"), Seq("count", "sum"))
+              .transform("cnt:sum", round(col("cnt:sum"), 2))
+            agged.toDF.orderBy(col(c.id.name))
+          case None =>
+            repl.toDF.orderBy(col(c.id.name), col("cnt"))
+        }
+      case _ => // explode_json with declared schema
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val withJson = base.toDF.select(col(c.id.name),
+          to_json(struct(col(c.jsonA.name).cast(LongType).as("a"),
+            col(c.jsonB.name).cast("string").as("b"))).as("payload"))
+        val flat = graft.core.JsonFlattener.explodeJson(withJson, "payload", "j",
+          schema = StructType(Seq(StructField("a", LongType),
+            StructField("b", StringType))))
+        XDF(flat).select(c.id.name, "j:a", "j:b")
+          .toDF.orderBy(col(c.id.name), col("j:a"), col("j:b"))
+    }
+  }
+
+  private def filtersOn(s: SparkSession, dir: String, t: Table,
+                        fs: Seq[Filter]): XDF =
+    fs.foldLeft(XDF(s.read.parquet(s"$dir/${t.name}.parquet")
+      .select(t.cols.map(c => col(c.name)): _*)))((x, f) => f.fn(x))
+
+  private def reshapeOracle(c: ReshapeCase): String = {
+    val where =
+      if (c.filters.isEmpty) "" else s" WHERE ${c.filters.map(_.sql).mkString(" AND ")}"
+    val id = c.id.name
+    c.op match {
+      case 0 =>
+        val concat = s"concat_ws('${c.sep}', ${c.parts.map(p => s"CAST(${p.name} AS VARCHAR)").mkString(", ")})"
+        val fanout =
+          s"""(SELECT $id, unnest(string_split(s, '${c.sep}')) AS "p:s"
+               FROM (SELECT $id, $concat AS s FROM ${c.t.name}$where))"""
+        c.aggKey match {
+          case Some(_) =>
+            s"""SELECT $id, CAST(count("p:s") AS BIGINT) AS "p:s:count",
+                       CAST(count(DISTINCT "p:s") AS BIGINT) AS "p:s:uniq_count"
+                FROM $fanout GROUP BY $id ORDER BY $id"""
+          case None =>
+            s"""SELECT * FROM $fanout ORDER BY $id, "p:s""""
+        }
+      case 1 =>
+        val basis =
+          s"""(SELECT $id, CAST(${c.cntSrc.name} % ${c.mod} AS BIGINT) AS cnt
+               FROM ${c.t.name}$where)"""
+        c.aggKey match {
+          case Some(_) =>
+            s"""SELECT $id, CAST(count(cnt) AS BIGINT) AS "cnt:count",
+                       round(sum(CAST(cnt AS DOUBLE)), 2) AS "cnt:sum"
+                FROM $basis b JOIN range(1, 100000) r ON r.range <= b.cnt
+                GROUP BY $id ORDER BY $id"""
+          case None =>
+            s"""SELECT $id, cnt FROM $basis b
+                JOIN range(1, 100000) r ON r.range <= b.cnt
+                ORDER BY $id, cnt"""
+        }
+      case _ =>
+        s"""SELECT $id, CAST(${c.jsonA.name} AS VARCHAR) AS "j:a",
+                   ${c.jsonB.name} AS "j:b"
+            FROM ${c.t.name}$where ORDER BY $id, "j:a", "j:b""""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    reshapePipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => reshapeQuery(c)(s, dir))).toMap ++
     pipelines.map { case (name, t, filters, agg) =>
       name -> { (s: SparkSession, dir: String) =>
         val base = XDF(s.read.parquet(s"$dir/${t.name}.parquet")
@@ -231,6 +362,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    reshapePipelines.map(c => c.name -> reshapeOracle(c)).toMap ++
     pipelines.map { case (name, t, filters, agg) =>
       val where =
         if (filters.isEmpty) "" else s" WHERE ${filters.map(_.sql).mkString(" AND ")}"
