@@ -176,10 +176,10 @@ def check_ivf_topk(got):
         return f"ROWS: expected 3 rows x 10 queries, got {dict(per_q)}"
     recall = hits / total
     # honest bound for the gate config (8 cells, 4 probes, seed 42):
-    # round 9 measured 1.000 at sf0.001 and 0.900 at sf0.01 for the gate
-    # seed (the 2-probe config measured 0.667-0.767 under the old 0.55
-    # bound); a mistuned index (random cells) would score
-    # ~nProbes/nClusters = 0.5, comfortably below the bound.
+    # round 9 measured 1.000 at sf0.001, 0.900 at sf0.01, and 1.000 at
+    # sf1 for the gate seed (the 2-probe config measured 0.667-0.767
+    # under the old 0.55 bound); a mistuned index (random cells) would
+    # score ~nProbes/nClusters = 0.5, comfortably below the bound.
     if recall < 0.85:
         return f"VALUES: IVF recall {recall:.2f} < 0.85 vs brute-force top-3"
     return None

@@ -310,7 +310,122 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated SAMPLING compositions (q_fuzz_32..35) =====
+  // The §2.10 family's portable md5 hash gate is expressible identically
+  // in DuckDB (seeded RNG is not), so sampling composes into the
+  // differential harness: filter -> md5-gate sample on an int key ->
+  // {aggregate | projection | filtered equi-join -> aggregate}. This
+  // crosses §2.10 with §2.6 and §2.5, which no hand-written gate does.
+
+  private case class SampleCase(
+      name: String, single: Option[(Table, Seq[Filter])],
+      join: Option[(JoinPair, Seq[Filter], Seq[Filter])],
+      gateCol: String, thr: String, aggKey: Option[String],
+      aggNum: Option[String])
+
+  private val samplePipelines: Seq[SampleCase] = {
+    val rnd = new scala.util.Random(929292L)
+    (0 until 4).map { i =>
+      if (i < 2) {
+        val t = tables(rnd.nextInt(tables.length))
+        val filters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, t))
+        val key = { val is = t.cols.filter(_.kind == "int"); is(rnd.nextInt(is.length)).name }
+        val thr = Seq("20", "40", "80")(rnd.nextInt(3))
+        val (aggKey, aggNum) =
+          if (i == 0) {
+            val ss = t.strPool.keys.toSeq.sorted
+            val ns = t.cols.filter(_.kind != "str").map(_.name)
+            (Some(ss(rnd.nextInt(ss.length))), Some(ns(rnd.nextInt(ns.length))))
+          } else (None, None)
+        SampleCase(f"q_fuzz_${32 + i}%02d", Some((t, filters)), None,
+          key, thr, aggKey, aggNum)
+      } else {
+        val p = joinPairs(rnd.nextInt(joinPairs.length))
+        val lf = Seq.fill(rnd.nextInt(2))(genFilter(rnd, p.lt))
+        val rf = Seq.fill(rnd.nextInt(2))(genFilter(rnd, p.rt))
+        val thr = Seq("20", "40", "80")(rnd.nextInt(3))
+        val (aggKey, aggNum) =
+          if (i == 2) {
+            val ss = (p.lt.strPool.keys ++ p.rt.strPool.keys).toSeq.sorted
+            val ns = (p.lt.cols ++ p.rt.cols).filter(_.kind != "str").map(_.name)
+            (Some(ss(rnd.nextInt(ss.length))), Some(ns(rnd.nextInt(ns.length))))
+          } else (None, None)
+        SampleCase(f"q_fuzz_${32 + i}%02d", None, Some((p, lf, rf)),
+          p.lk, thr, aggKey, aggNum)
+      }
+    }
+  }
+
+  private def sampleQuery(c: SampleCase)(s: SparkSession, dir: String): DataFrame = {
+    def gate(x: XDF): XDF =
+      x.where(substring(md5(col(c.gateCol).cast("string")), 1, 2) < c.thr)
+    (c.single, c.join) match {
+      case (Some((t, fs)), _) =>
+        val sampled = gate(filtersOn(s, dir, t, fs))
+        (c.aggKey, c.aggNum) match {
+          case (Some(k), Some(n)) =>
+            sampled.aggregate(Seq(k), Seq(n, n), Seq("count", "sum"))
+              .transform(s"$n:sum", round(col(s"$n:sum"), 2))
+              .toDF.orderBy(col(k))
+          case _ =>
+            sampled.toDF.orderBy(t.cols.map(cc => col(cc.name)): _*)
+        }
+      case (_, Some((p, lf, rf))) =>
+        val l = gate(filtersOn(s, dir, p.lt, lf))
+        val r = filtersOn(s, dir, p.rt, rf)
+        val joined = l.innerJoin(r, Seq(p.lk), Seq(p.rk))
+        (c.aggKey, c.aggNum) match {
+          case (Some(k), Some(n)) =>
+            joined.aggregate(Seq(k), Seq(n, n), Seq("count", "sum"))
+              .transform(s"$n:sum", round(col(s"$n:sum"), 2))
+              .toDF.orderBy(col(k))
+          case _ =>
+            // FK -> PK join: every output row is a function of its left
+            // row, so sorting on all left columns is total (join-fuzz law)
+            joined.toDF.orderBy(p.lt.cols.map(cc => col(cc.name)): _*)
+        }
+      case _ => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  private def sampleOracle(c: SampleCase): String = {
+    val gateSql = s"substr(md5(CAST(${c.gateCol} AS VARCHAR)), 1, 2) < '${c.thr}'"
+    def aggSel(k: String, n: String) =
+      s"""SELECT $k, CAST(count($n) AS BIGINT) AS "$n:count",
+                 round(sum(CAST($n AS DOUBLE)), 2) AS "$n:sum""""
+    (c.single, c.join) match {
+      case (Some((t, fs)), _) =>
+        val conds = fs.map(_.sql) :+ gateSql
+        val where = s" WHERE ${conds.mkString(" AND ")}"
+        (c.aggKey, c.aggNum) match {
+          case (Some(k), Some(n)) =>
+            s"""${aggSel(k, n)} FROM ${t.name}$where GROUP BY $k ORDER BY $k"""
+          case _ =>
+            s"""SELECT ${t.cols.map(_.name).mkString(", ")} FROM ${t.name}$where
+                ORDER BY ${t.cols.map(_.name).mkString(", ")}"""
+        }
+      case (_, Some((p, lf, rf))) =>
+        val lConds = lf.map(_.sql) :+ gateSql
+        val lCte = s"lf AS (SELECT ${p.lt.cols.map(_.name).mkString(", ")} " +
+          s"FROM ${p.lt.name} WHERE ${lConds.mkString(" AND ")})"
+        val rWhere = if (rf.isEmpty) "" else s" WHERE ${rf.map(_.sql).mkString(" AND ")}"
+        val rCte = s"rf AS (SELECT ${p.rt.cols.map(_.name).mkString(", ")} " +
+          s"FROM ${p.rt.name}$rWhere)"
+        val from = s"FROM lf JOIN rf ON lf.${p.lk} = rf.${p.rk}"
+        (c.aggKey, c.aggNum) match {
+          case (Some(k), Some(n)) =>
+            s"""WITH $lCte, $rCte ${aggSel(k, n)} $from GROUP BY $k ORDER BY $k"""
+          case _ =>
+            s"""WITH $lCte, $rCte SELECT lf.*, rf.* $from
+                ORDER BY ${p.lt.cols.map(_.name).mkString(", ")}"""
+        }
+      case _ => throw new IllegalStateException("unreachable")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    samplePipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => sampleQuery(c)(s, dir))).toMap ++
     reshapePipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => reshapeQuery(c)(s, dir))).toMap ++
     pipelines.map { case (name, t, filters, agg) =>
@@ -362,6 +477,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    samplePipelines.map(c => c.name -> sampleOracle(c)).toMap ++
     reshapePipelines.map(c => c.name -> reshapeOracle(c)).toMap ++
     pipelines.map { case (name, t, filters, agg) =>
       val where =
