@@ -114,6 +114,30 @@ class Round9Spec extends SparkTestBase {
       .fields.length == 200)
   }
 
+  test("plan audit: TSV read prunes columns through the url_decode projection") {
+    // Data filters cannot push into this scan — every cell is URL-decoded
+    // at read time, and a filter over a value-transforming codec is not
+    // scan-evaluable by construction. Column PRUNING must still reach the
+    // csv reader: a 2-column projection + 1-column filter over the
+    // 6-column orders table may read exactly those 3 columns.
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsvaudit").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    graft.sources.TsvIO.write(orders, s"$tmp/orders")
+    val df = graft.sources.TsvIO.readWithFilterTransform(spark,
+      Seq(s"$tmp/orders"),
+      cols = Seq("o_orderkey", "o_orderpriority"),
+      filterCond = org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val scans = fileScans(df)
+    assert(scans.nonEmpty, "no file scan planned for the TSV read")
+    val read = scans.flatMap(_.requiredSchema.fieldNames).toSet
+    val allowed = Set("o_orderkey", "o_orderpriority", "o_orderstatus")
+    assert(read.subsetOf(allowed),
+      s"TSV scan reads unpruned columns ${read -- allowed} — the decode " +
+        s"projection must not defeat column pruning (read=$read)")
+    assert(df.count() > 0)
+  }
+
   test("plan audit: scanByDateRange prunes partitions at the scan") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     val scans = gateScans("q_etl_scan")
