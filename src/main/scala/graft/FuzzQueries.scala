@@ -423,7 +423,118 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated WINDOW/CUMSUM/TOPK pipelines (q_fuzz_36..43) =====
+  // The §2.9/§2.12 custom code paths — the distributed global prefix sum
+  // (XDF.cumulativeSum with empty partitionCols) and the bounded-heap
+  // top-k aggregate (BoundedTopKAgg) — had only hand-written gates until
+  // round 9. These compose filter -> {per-entity cumsum | global
+  // prefix-sum cumsum | heap top-k} against DuckDB window oracles.
+  //
+  // Determinism rules, chosen so the compare is exact rather than
+  // tolerance-based:
+  //  - cumsum summands are floor()ed to integer-valued DOUBLEs — integer
+  //    double sums are exact up to 2^53, so the prefix sum's different
+  //    association order (per-partition partials + offsets) is bit-equal
+  //    to DuckDB's sequential window scan at every scale factor;
+  //  - cumsum ordering columns are globally-unique ids (o_orderkey /
+  //    c_custkey / n_nationkey), so the running order is total;
+  //  - the per-entity case partitions on o_custkey (per-customer running
+  //    totals — entity-bounded by contract, the q_cumulative_sum shape),
+  //    never on a fixed-cardinality category that would concentrate a
+  //    scale-up onto a few window tasks;
+  //  - top-k keeps k <= 10 (heap path, no window); ties break on the
+  //    full row struct exactly like the row_number fallback, mirrored in
+  //    the oracle as ORDER BY sortCol, <every column ASC>. Outputs are
+  //    verbatim input rows, so parquet doubles pass through bit-identical
+  //    on both engines.
+
+  private case class WindowCase(
+      name: String, t: Table, filters: Seq[Filter], op: Int,
+      partKey: String, idCol: String, vCol: String,
+      k: Int, groupKey: String, sortCol: String, reverse: Boolean)
+
+  /** Tables with a globally-unique integer id (cumsum ordering needs a
+    * total order; lineitem has none). */
+  private val uniqueIds = Map("orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "nation" -> "n_nationkey")
+
+  private val windowPipelines: Seq[WindowCase] = {
+    val rnd = new scala.util.Random(363636L)
+    (0 until 8).map { i =>
+      val op = i % 3
+      val t = op match {
+        case 0 => tables(0) // orders: o_custkey entity key + unique id
+        case 1 => Seq(tables(0), tables(2), nationTable)(rnd.nextInt(3))
+        case _ => reshapeTables(rnd.nextInt(reshapeTables.length))
+      }
+      val filters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, t))
+      val idCol = uniqueIds.getOrElse(t.name, "")
+      val nums = t.cols.filter(_.kind != "str").map(_.name)
+      val vCol = nums(rnd.nextInt(nums.length))
+      val strs = t.strPool.keys.toSeq.sorted
+      val groupKey = strs(rnd.nextInt(strs.length))
+      val sortCol = nums(rnd.nextInt(nums.length))
+      WindowCase(f"q_fuzz_${36 + i}%02d", t, filters, op,
+        partKey = "o_custkey", idCol = idCol, vCol = vCol,
+        k = Seq(3, 5, 10)(rnd.nextInt(3)), groupKey = groupKey,
+        sortCol = sortCol, reverse = rnd.nextBoolean())
+    }
+  }
+
+  private def windowQuery(c: WindowCase)(s: SparkSession, dir: String): DataFrame = {
+    val base = filtersOn(s, dir, c.t, c.filters)
+    c.op match {
+      case 0 => // per-entity running sum (window path)
+        val prj = base.toDF.select(col(c.partKey), col(c.idCol),
+          floor(col(c.vCol)).cast("double").as("v"))
+        XDF(prj).cumulativeSum("v", "cum", Seq(c.idCol), Seq(c.partKey))
+          .transform("cum", round(col("cum"), 2))
+          .toDF.orderBy(col(c.partKey), col(c.idCol))
+      case 1 => // GLOBAL running sum (distributed prefix-sum path)
+        val prj = base.toDF.select(col(c.idCol),
+          floor(col(c.vCol)).cast("double").as("v"))
+        XDF(prj).cumulativeSum("v", "cum", Seq(c.idCol), Nil)
+          .transform("cum", round(col("cum"), 2))
+          .toDF.orderBy(col(c.idCol))
+      case _ => // bounded-heap top-k per group
+        base.sampleGroupByTopk(Seq(c.groupKey), c.sortCol, c.k, c.reverse)
+          .toDF.orderBy(c.t.cols.map(cc => col(cc.name)): _*)
+    }
+  }
+
+  private def windowOracle(c: WindowCase): String = {
+    val where =
+      if (c.filters.isEmpty) "" else s" WHERE ${c.filters.map(_.sql).mkString(" AND ")}"
+    c.op match {
+      case 0 =>
+        s"""SELECT ${c.partKey}, ${c.idCol}, v,
+                   round(sum(v) OVER (PARTITION BY ${c.partKey} ORDER BY ${c.idCol}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+            FROM (SELECT ${c.partKey}, ${c.idCol},
+                    CAST(floor(${c.vCol}) AS DOUBLE) AS v FROM ${c.t.name}$where) b
+            ORDER BY ${c.partKey}, ${c.idCol}"""
+      case 1 =>
+        s"""SELECT ${c.idCol}, v,
+                   round(sum(v) OVER (ORDER BY ${c.idCol}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+            FROM (SELECT ${c.idCol},
+                    CAST(floor(${c.vCol}) AS DOUBLE) AS v FROM ${c.t.name}$where) b
+            ORDER BY ${c.idCol}"""
+      case _ =>
+        val allCols = c.t.cols.map(_.name)
+        val dir = if (c.reverse) "DESC" else "ASC"
+        val tieBreak = allCols.map(n => s"$n ASC").mkString(", ")
+        s"""SELECT ${allCols.mkString(", ")} FROM (
+              SELECT *, row_number() OVER (PARTITION BY ${c.groupKey}
+                ORDER BY ${c.sortCol} $dir, $tieBreak) AS rn
+              FROM ${c.t.name}$where) b
+            WHERE rn <= ${c.k} ORDER BY ${allCols.mkString(", ")}"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    windowPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => windowQuery(c)(s, dir))).toMap ++
     samplePipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => sampleQuery(c)(s, dir))).toMap ++
     reshapePipelines.map(c => c.name ->
@@ -477,6 +588,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    windowPipelines.map(c => c.name -> windowOracle(c)).toMap ++
     samplePipelines.map(c => c.name -> sampleOracle(c)).toMap ++
     reshapePipelines.map(c => c.name -> reshapeOracle(c)).toMap ++
     pipelines.map { case (name, t, filters, agg) =>

@@ -260,6 +260,16 @@ object TrainingQueries {
           docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3)
         .select("doc_id").orderBy("doc_id")),
 
+    // broadcast-Bloom pre-filter + exact confirm join: the Bloom changes
+    // the plan, never the answer, so the oracle is decontaminate's own.
+    // fpp = 0.2 forces real false positives through the confirm join at
+    // gate scale — a silently-skipped confirm would hash-mismatch.
+    "q_decontaminate_bloom" -> ((s, dir) =>
+      Dedup.decontaminateBloom(docs(s, dir), "doc_id", "text",
+          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3,
+          fpp = 0.2)
+        .select("doc_id").orderBy("doc_id")),
+
     // tables = 1 pins the gate to the single-table sign-LSH the DuckDB
     // oracle mirrors; the production default (tables = 4) only widens
     // candidate recall and is law-tested against brute force in specs
@@ -554,6 +564,18 @@ object TrainingQueries {
           GROUP BY dg.doc_id ORDER BY doc_id""",
 
     "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g)
+          SELECT d.doc_id FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY d.doc_id""",
+
+    // Bloom pre-filter variant: exact-equal results by construction, so
+    // the oracle is identical to q_decontaminate's
+    "q_decontaminate_bloom" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
           ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),

@@ -1,8 +1,11 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.TextOps
 
 /**
@@ -333,6 +336,60 @@ object Dedup {
     require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
     val contaminated = contaminationReport(corpus, docIdCol, textCol,
         evalDocs, evalTextCol, n)
+      .filter(col("eval_ngram_hits") >= minMatches)
+      .select(col(docIdCol))
+    corpus.join(contaminated, Seq(docIdCol), "left_anti")
+  }
+
+  /**
+   * Bloom-filter n-gram set built from a DataFrame's single string
+   * column via treeAggregate — UTF-8 bytes on the put side, symmetric
+   * with `BloomMightContain`'s probe. Deterministic semantics under our
+   * control (no dependence on an engine version's stat.bloomFilter
+   * hashing choice).
+   */
+  private[graft] def buildGramBloom(grams: DataFrame, col0: String,
+                                    expectedItems: Long, fpp: Double): BloomFilter = {
+    val empty = BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    grams.select(col(col0).cast(StringType)).na.drop()
+      .rdd.map(_.getString(0))
+      .treeAggregate(empty)(
+        (bf, s) => { bf.putBinary(s.getBytes(StandardCharsets.UTF_8)); bf },
+        (a, b) => a.mergeInPlace(b))
+  }
+
+  /**
+   * `decontaminate` with a broadcast-Bloom pre-filter — the 100 TB shape
+   * when the eval suite's n-gram set is too large to broadcast as a join
+   * table but compresses to megabytes of Bloom bits (1M grams at 1% fpp
+   * is ~1.2 MB vs hundreds of MB of strings). The corpus's exploded
+   * grams hit the Bloom probe FIRST, inside the scan's whole-stage
+   * codegen, so ~all clean grams die before any join or shuffle; only
+   * bloom survivors (true hits + the fpp sliver) reach the exact confirm
+   * join, which removes false positives. Results are therefore EXACTLY
+   * `decontaminate`'s — the Bloom changes the plan, never the answer —
+   * and the gate (q_decontaminate_bloom) shares the exact oracle.
+   */
+  def decontaminateBloom(corpus: DataFrame, docIdCol: String, textCol: String,
+                         evalDocs: DataFrame, evalTextCol: String,
+                         n: Int = 8, minMatches: Int = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val spark = corpus.sparkSession
+    val evalGrams = evalDocs.select(explode(array_distinct(
+        TextOps.wordShingles(col(evalTextCol), n))).as("__gram__"))
+      .distinct()
+      .persist() // read twice: bloom build + confirm join
+    val bf = buildGramBloom(evalGrams, "__gram__",
+      expectedItems = evalGrams.count(), fpp = fpp)
+    val bloomBc = spark.sparkContext.broadcast(bf)
+    val contaminated = corpus.select(col(docIdCol), explode(array_distinct(
+        TextOps.wordShingles(col(textCol), n))).as("__gram__"))
+      .filter(graft.plans.BloomMightContain.might_contain(col("__gram__"), bloomBc))
+      .join(broadcast(evalGrams), Seq("__gram__"))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("eval_ngram_hits"))
       .filter(col("eval_ngram_hits") >= minMatches)
       .select(col(docIdCol))
     corpus.join(contaminated, Seq(docIdCol), "left_anti")

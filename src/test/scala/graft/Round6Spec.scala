@@ -33,7 +33,19 @@ class Round6Spec extends SparkTestBase {
     "q_graph_time_forward" ->
       "ancestor-closure dominance prune, state bounded per (node, ancestor) pair",
     "q_graph_forward_edges" ->
-      "ancestor-closure dominance prune, state bounded per (node, ancestor) pair"
+      "ancestor-closure dominance prune, state bounded per (node, ancestor) pair",
+    "q_fuzz_36" ->
+      "window-fuzz per-entity cumsum: window keyed by o_custkey (per-customer running totals, entity-bounded by contract)",
+    "q_fuzz_39" ->
+      "window-fuzz per-entity cumsum: window keyed by o_custkey (per-customer running totals, entity-bounded by contract)",
+    "q_fuzz_42" ->
+      "window-fuzz per-entity cumsum: window keyed by o_custkey (per-customer running totals, entity-bounded by contract)",
+    "q_fuzz_37" ->
+      "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only",
+    "q_fuzz_40" ->
+      "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only",
+    "q_fuzz_43" ->
+      "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only"
   )
 
   test("plan audit: no gate windows outside the audited whitelist") {

@@ -138,6 +138,59 @@ class Round9Spec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  // ===== broadcast-Bloom decontamination =====
+
+  test("bloom probe: no false negatives, build/probe hashing symmetric") {
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"gram_member_$i")
+    val bf = graft.operators.Dedup.buildGramBloom(
+      members.toDF("g"), "g", expectedItems = 1000, fpp = 0.001)
+    val bc = spark.sparkContext.broadcast(bf)
+    // every put value must probe true — a false negative would let a
+    // contaminated doc survive decontaminateBloom
+    val memberHits = members.toDF("g")
+      .filter(graft.plans.BloomMightContain.might_contain(
+        org.apache.spark.sql.functions.col("g"), bc))
+      .count()
+    assert(memberHits == 1000L, s"false negatives: only $memberHits/1000 probed true")
+    // non-members mostly fail (fpp 0.001 over 1000 probes: a handful at
+    // most — 50 is a >10-sigma bound; deterministic for fixed inputs)
+    val fpHits = (0 until 1000).map(i => s"other_value_$i").toDF("g")
+      .filter(graft.plans.BloomMightContain.might_contain(
+        org.apache.spark.sql.functions.col("g"), bc))
+      .count()
+    assert(fpHits < 50, s"bloom passes non-members far above fpp: $fpHits/1000")
+  }
+
+  test("law: decontaminateBloom == decontaminate at any fpp") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val eval = docs.filter(col("doc_id") % 37 === 0)
+    val exact = graft.operators.Dedup
+      .decontaminate(docs, "doc_id", "text", eval, "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // fpp 0.5 floods the confirm join with false positives; 0.01 starves
+    // it — the answer must not move either way
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloomed = graft.operators.Dedup
+        .decontaminateBloom(docs, "doc_id", "text", eval, "text", n = 3,
+          fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(bloomed.sameElements(exact),
+        s"fpp=$fpp: bloom path diverged (${bloomed.length} vs ${exact.length} rows)")
+    }
+  }
+
+  test("plan audit: bloom probe runs before the confirm join") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      "q_decontaminate_bloom plans no bloom_might_contain probe — the " +
+        "pre-filter fell out of the plan")
+  }
+
   test("plan audit: scanByDateRange prunes partitions at the scan") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     val scans = gateScans("q_etl_scan")
