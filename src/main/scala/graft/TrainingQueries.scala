@@ -87,6 +87,20 @@ object TrainingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== text analysis =====
+
+    // bounded-memory Misra-Gries heavy hitters, pinned to the EXACT
+    // regime (capacity 1024 >> the fixture's 31-token vocabulary): no
+    // decrement ever fires, so counts equal GROUP BY counts regardless
+    // of partitioning or merge order and the plain SQL oracle holds.
+    // The approximation regime's bounds are spec-tested (Round9Spec).
+    "q_text_heavy_hitters" -> ((s, dir) =>
+      graft.plans.FreqItemsAgg.heavyHitters(
+          docs(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
+            .filter(col("tok") =!= ""),
+          "tok", capacity = 1024)
+        .orderBy(col("cnt").desc, col("item"))
+        .limit(20)),
+
     "q_text_token_count" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("n_tok", TextOps.tokenCount(col("text")))
@@ -328,6 +342,12 @@ object TrainingQueries {
                  array_to_string(toks[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text
           FROM t, UNNEST(range((len(toks) + 49) // 50)) AS u(i)
           ORDER BY doc_id, chunk_index""",
+
+    "q_text_heavy_hitters" ->
+      s"""SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($toksSql) AS tok FROM documents) t
+          WHERE tok <> '' GROUP BY tok
+          ORDER BY cnt DESC, item LIMIT 20""",
 
     "q_text_token_count" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)

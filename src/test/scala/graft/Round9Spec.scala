@@ -191,6 +191,41 @@ class Round9Spec extends SparkTestBase {
         "pre-filter fell out of the plan")
   }
 
+  // ===== Misra-Gries heavy hitters =====
+
+  test("law: freq_items_mg exact regime == groupBy count, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20000).map(_ => s"k${rnd.nextInt(40)}")
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k").repartition(parts)
+      val got = graft.plans.FreqItemsAgg.heavyHitters(df, "k", capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == exact, s"parts=$parts: MG diverged from exact counts")
+    }
+  }
+
+  test("law: freq_items_mg approximation bounds (capacity 4, skewed stream)") {
+    import spark.implicits._
+    // n = 10000: hot x5000, warm x3000, 2000 distinct cold singletons.
+    // MG guarantees: reported <= true, true - reported <= n/capacity
+    // (2500), and any key with true count > n/capacity is present.
+    val rows = scala.util.Random.shuffle(
+      Seq.fill(5000)("hot") ++ Seq.fill(3000)("warm") ++
+        (0 until 2000).map(i => s"cold_$i"))
+    val got = graft.plans.FreqItemsAgg
+      .heavyHitters(rows.toDF("k").repartition(8), "k", capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size <= 4, s"summary exceeded capacity: ${got.size}")
+    for ((k, truth) <- Seq("hot" -> 5000L, "warm" -> 3000L)) {
+      assert(got.contains(k), s"guaranteed heavy hitter '$k' missing: $got")
+      assert(got(k) <= truth, s"'$k' overcounted: ${got(k)} > $truth")
+      assert(truth - got(k) <= 2500L,
+        s"'$k' undercounted beyond n/capacity: ${got(k)} vs $truth")
+    }
+  }
+
   test("plan audit: scanByDateRange prunes partitions at the scan") {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     val scans = gateScans("q_etl_scan")
