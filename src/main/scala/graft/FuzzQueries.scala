@@ -532,7 +532,85 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated SET-OP pipelines (q_fuzz_44..47) =====
+  // §2.7 closes the fuzz matrix: two differently-filtered views of the
+  // same table flow through {exact-header union | schema-evolving
+  // merge_union | intersect | difference}. merge_union drops one column
+  // from each side, so the union-of-columns + "" default path (the
+  // reference's dfutils semantics) is exercised: filled columns come
+  // back string-typed on BOTH engines (coalesce(cast) on ours, CAST ||
+  // '' literal in the oracle), and only non-float columns participate so
+  // string round-trips stay format-safe. union duplicates are identical
+  // rows; intersect/except outputs are distinct — sorts stay total.
+
+  private case class SetOpCase(name: String, t: Table, op: Int,
+                               fA: Seq[Filter], fB: Seq[Filter])
+
+  private val setOpPipelines: Seq[SetOpCase] = {
+    val rnd = new scala.util.Random(474747L)
+    (0 until 4).map { i =>
+      val t = reshapeTables(rnd.nextInt(reshapeTables.length))
+      SetOpCase(f"q_fuzz_${44 + i}%02d", t, i,
+        Seq(genFilter(rnd, t)), Seq(genFilter(rnd, t)))
+    }
+  }
+
+  private def setOpQuery(c: SetOpCase)(s: SparkSession, dir: String): DataFrame = {
+    val nf = c.t.cols.filter(_.kind != "float").map(_.name)
+    c.op match {
+      case 1 => // merge_union over asymmetric projections
+        val a = filtersOn(s, dir, c.t, c.fA).select(nf.init: _*)
+        val b = filtersOn(s, dir, c.t, c.fB).select(nf.tail: _*)
+        val merged = a.mergeUnion(Seq(b),
+          defValMap = Map(nf.head -> "", nf.last -> ""))
+        merged.toDF.orderBy(merged.getHeader.map(col): _*)
+      case _ =>
+        val a = filtersOn(s, dir, c.t, c.fA)
+        val b = filtersOn(s, dir, c.t, c.fB)
+        val out = c.op match {
+          case 0 => a.union(b)
+          case 2 => a.intersectRows(b)
+          case _ => a.difference(b)
+        }
+        out.toDF.orderBy(c.t.cols.map(cc => col(cc.name)): _*)
+    }
+  }
+
+  private def setOpOracle(c: SetOpCase): String = {
+    def where(fs: Seq[Filter]) =
+      if (fs.isEmpty) "" else s" WHERE ${fs.map(_.sql).mkString(" AND ")}"
+    val all = c.t.cols.map(_.name)
+    val nf = c.t.cols.filter(_.kind != "float").map(_.name)
+    c.op match {
+      case 1 =>
+        // side A carries nf.init (misses nf.last); side B carries
+        // nf.tail (misses nf.head); filled cols are VARCHAR everywhere
+        def side(present: Seq[String], fs: Seq[Filter]) = {
+          val exprs = nf.map { n =>
+            if (!present.contains(n)) s"'' AS $n"
+            else if (n == nf.head || n == nf.last) s"CAST($n AS VARCHAR) AS $n"
+            else n
+          }
+          s"SELECT ${exprs.mkString(", ")} FROM ${c.t.name}${where(fs)}"
+        }
+        s"""${side(nf.init, c.fA)} UNION ALL ${side(nf.tail, c.fB)}
+            ORDER BY ${nf.mkString(", ")}"""
+      case op =>
+        val kw = op match {
+          case 0 => "UNION ALL"
+          case 2 => "INTERSECT"
+          case _ => "EXCEPT"
+        }
+        s"""SELECT ${all.mkString(", ")} FROM ${c.t.name}${where(c.fA)}
+            $kw
+            SELECT ${all.mkString(", ")} FROM ${c.t.name}${where(c.fB)}
+            ORDER BY ${all.mkString(", ")}"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    setOpPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => setOpQuery(c)(s, dir))).toMap ++
     windowPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => windowQuery(c)(s, dir))).toMap ++
     samplePipelines.map(c => c.name ->
@@ -588,6 +666,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    setOpPipelines.map(c => c.name -> setOpOracle(c)).toMap ++
     windowPipelines.map(c => c.name -> windowOracle(c)).toMap ++
     samplePipelines.map(c => c.name -> sampleOracle(c)).toMap ++
     reshapePipelines.map(c => c.name -> reshapeOracle(c)).toMap ++
