@@ -76,7 +76,37 @@ object Round9Queries {
     "q_select_missing" -> ((s, dir) =>
       XDF(t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
         .addEmptyColsIfMissing("c_alias")
-        .toDF.orderBy("c_custkey"))
+        .toDF.orderBy("c_custkey")),
+
+    // plain-CSV write/read round-trip (reference hydra.py:127-140
+    // read_csv): all cells come back string-typed
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      graft.sources.TsvIO.readCsv(s, out)
+        .orderBy(col("c_custkey").cast("long"))
+    }),
+
+    // gzip'd URL-encoded TSV round-trip — the reference's `.tsv.gz`
+    // on-disk layout; Spark's codec handles decompression at the scan
+    "q_tsv_gz_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tsvgz").toString
+      graft.sources.TsvIO.write(t(s, dir, "nation"), out, codec = "gzip")
+      graft.sources.TsvIO.read(s, out)
+        .orderBy(col("n_nationkey").cast("long"))
+    }),
+
+    // JSON-lines directory -> 1-col `json` frame (reference
+    // hydra.py:325-356); payloads built via to_json so the wire format
+    // is deterministic on both engines
+    "q_read_json_dir" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsond").toString
+      t(s, dir, "nation")
+        .select(to_json(struct(col("n_nationkey").cast("long").as("k"))).as("value"))
+        .write.mode("overwrite").text(out)
+      graft.sources.TsvIO.readJsonDir(s, Seq(out)).orderBy("json")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +157,19 @@ object Round9Queries {
 
     "q_select_missing" ->
       """SELECT c_custkey, c_mktsegment, '' AS c_alias
-         FROM customer ORDER BY c_custkey"""
+         FROM customer ORDER BY c_custkey""",
+
+    "q_csv_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_mktsegment
+         FROM customer ORDER BY c_custkey::BIGINT""",
+
+    "q_tsv_gz_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+                CAST(n_regionkey AS VARCHAR) AS n_regionkey
+         FROM nation ORDER BY n_nationkey::BIGINT""",
+
+    "q_read_json_dir" ->
+      """SELECT '{"k":' || n_nationkey || '}' AS json
+         FROM nation ORDER BY json"""
   )
 }

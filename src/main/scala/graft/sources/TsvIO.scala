@@ -39,13 +39,17 @@ object TsvIO {
   def read(spark: SparkSession, path: String): DataFrame = read(spark, Seq(path))
 
   /** Write TSV with URL-encoded cells (reference hydra.py:7-27; cells
-    * encoded via quote_plus — space becomes '+'). */
-  def write(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    * encoded via quote_plus — space becomes '+'). `codec` (e.g. "gzip")
+    * compresses part files, matching the reference's `.tsv.gz` layout. */
+  def write(df: DataFrame, path: String, sep: String = "\t",
+            codec: String = null): Unit = {
     // url_encode is form-encoding (URLEncoder): space already becomes '+'
-    df.select(df.columns.map(c => url_encode(col(c).cast(StringType)).as(c)): _*)
+    val w = df.select(
+        df.columns.map(c => url_encode(col(c).cast(StringType)).as(c)): _*)
       .write.mode("overwrite")
       .option("sep", sep).option("header", "true")
-      .csv(path)
+    (if (codec != null) w.option("compression", codec) else w).csv(path)
+  }
 
   /** Scan-time projection/filter sugar (reference hydra.py:156-257
     * read_with_filter_transform): the reference applies these per record
