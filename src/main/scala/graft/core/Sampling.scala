@@ -310,6 +310,18 @@ object Sampling {
     df.join(broadcast(keep), Seq(valCol), "left_semi")
   }
 
+  /** Global distinct-value cap, md5-ranked — same semantics as
+    * `sampleColumnByMaxUniqValues` but the value ranking is reproducible
+    * in any engine with md5 (the DuckDB-differential gate's variant). */
+  def sampleColumnByMaxUniqValuesPortable(df: DataFrame, valCol: String,
+                                          maxUniq: Int,
+                                          seedStr: String = "0"): DataFrame = {
+    val keep = df.select(valCol).distinct()
+      .orderBy(md5(portableKeyMaterial(Seq(col(valCol)), seedStr)), col(valCol))
+      .limit(maxUniq)
+    df.join(broadcast(keep), Seq(valCol), "left_semi")
+  }
+
   /** Hash-partition into n batches by key cols (dataframe.py:3929-4054).
     * Returns a partition-id column rather than n materialized DFs — the
     * caller filters; at scale this is `repartition(n, keys)` territory. */

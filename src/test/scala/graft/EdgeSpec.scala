@@ -208,6 +208,17 @@ class EdgeSpec extends SparkTestBase {
     assert(counts.forall(_ > 0))
   }
 
+  test("sampleColumnByMaxUniqValuesPortable caps the distinct value set") {
+    val df = (1 to 90).map(i => (i, (i % 9).toString)).toDF("id", "cls")
+    val out = Sampling.sampleColumnByMaxUniqValuesPortable(df, "cls", 4, "s")
+    assert(out.select("cls").distinct().count() == 4)
+    // every kept class keeps ALL its rows (semi-join, not a row sample)
+    assert(out.count() == 40)
+    // a cap above the distinct count is a no-op
+    assert(Sampling.sampleColumnByMaxUniqValuesPortable(df, "cls", 99, "s")
+      .count() == 90)
+  }
+
   test("selectAndAddEmptyColsIfMissing creates absent plain cols") {
     val df = XDF(Seq(("1")).toDF("a"))
     val out = df.selectAndAddEmptyColsIfMissing("a", "ghost")
