@@ -608,7 +608,75 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated TEXT-ANALYSIS pipelines (q_fuzz_48..51) =====
+  // The text analyzers (whitespace + BPE-ish tokenizers, mean token
+  // length) composed with seeded document-metadata filters and an
+  // optional per-language aggregate — the same oracle tokenizer
+  // fragments as the hand-written q_text_* gates, but over filter
+  // combinations those example-based gates never exercise. Sums are
+  // integer-exact, so the avg is bit-stable on both engines.
+
+  private val documentsTable = Table("documents",
+    Seq(Col("doc_id", "int"), Col("n_chars", "int"),
+      Col("lang", "str"), Col("source", "str")),
+    strPool = Map(
+      "lang" -> Seq("de", "en", "es", "fr", "zh"),
+      "source" -> Seq("src0", "src3", "src7", "src12", "src19")),
+    numPool = Map(
+      "doc_id" -> Seq(100L, 300L),
+      "n_chars" -> Seq(150L, 250L, 350L)))
+
+  private case class TextCase(name: String, fs: Seq[Filter], agg: Boolean)
+
+  private val textPipelines: Seq[TextCase] = {
+    val rnd = new scala.util.Random(484848L)
+    (0 until 4).map { i =>
+      TextCase(f"q_fuzz_${48 + i}%02d",
+        Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd, documentsTable)),
+        agg = i % 2 == 1)
+    }
+  }
+
+  private def textQuery(c: TextCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val base = XDF(s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+    val m = c.fs.foldLeft(base)((x, f) => f.fn(x)).toDF
+      .withColumn("n_tok", TextOps.tokenCount(col("text")))
+    if (c.agg)
+      m.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_tok")).as("sum_tok"),
+          round(avg(col("n_tok")), 2).as("avg_tok"))
+        .orderBy("lang")
+    else
+      m.withColumn("n_bpe", TextOps.bpeishTokenCount(col("text")))
+        .withColumn("mean_tok_len", round(TextOps.meanTokenLength(col("text")), 4))
+        .select("doc_id", "n_tok", "n_bpe", "mean_tok_len")
+        .orderBy("doc_id")
+  }
+
+  private def textOracle(c: TextCase): String = {
+    val where = s" WHERE ${c.fs.map(_.sql).mkString(" AND ")}"
+    val toks = "regexp_split_to_array(text, '\\s+')"
+    if (c.agg)
+      s"""WITH t AS (SELECT lang, len($toks) AS n_tok FROM documents$where)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                 round(avg(n_tok), 2) AS avg_tok
+          FROM t GROUP BY lang ORDER BY lang"""
+    else
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents$where)
+          SELECT doc_id, len(toks) AS n_tok,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpe,
+                 round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len(toks), 4) AS mean_tok_len
+          FROM t ORDER BY doc_id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    textPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => textQuery(c)(s, dir))).toMap ++
     setOpPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => setOpQuery(c)(s, dir))).toMap ++
     windowPipelines.map(c => c.name ->
@@ -666,6 +734,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    textPipelines.map(c => c.name -> textOracle(c)).toMap ++
     setOpPipelines.map(c => c.name -> setOpOracle(c)).toMap ++
     windowPipelines.map(c => c.name -> windowOracle(c)).toMap ++
     samplePipelines.map(c => c.name -> sampleOracle(c)).toMap ++
