@@ -674,7 +674,87 @@ object FuzzQueries {
           FROM t ORDER BY doc_id"""
   }
 
+  // ===== generated GRAPH pipelines (q_fuzz_52..55) =====
+  // §2.11 compositions: seeded filters shape a customer->order->part
+  // edge set, which then flows through degrees, one-iteration dangling
+  // pruning (with and without a retention list), and BFS levels. The
+  // oracles are non-recursive — one prune iteration is a semi-join, and
+  // the c->o->p graph is a 3-layer DAG whose BFS levels are structural.
+
+  private case class GraphCase(name: String, kind: Int,
+                               fo: Seq[Filter], fl: Seq[Filter])
+
+  private val graphPipelines: Seq[GraphCase] = {
+    val rnd = new scala.util.Random(525252L)
+    val orders = tables.find(_.name == "orders").get
+    val lineitem = tables.find(_.name == "lineitem").get
+    (0 until 4).map { i =>
+      GraphCase(f"q_fuzz_${52 + i}%02d", i,
+        Seq(genFilter(rnd, orders)), Seq(genFilter(rnd, lineitem)))
+    }
+  }
+
+  private def graphQuery(c: GraphCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphOps
+    val ordersCols = tables.find(_.name == "orders").get.cols.map(_.name)
+    val liCols = tables.find(_.name == "lineitem").get.cols.map(_.name)
+    val co = c.fo.foldLeft(XDF(s.read.parquet(s"$dir/orders.parquet")
+        .select(ordersCols.map(col): _*)))((a, f) => f.fn(a))
+      .toDF.select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("target"))
+    val op = c.fl.foldLeft(XDF(s.read.parquet(s"$dir/lineitem.parquet")
+        .select((liCols :+ "l_partkey").map(col): _*)))((a, f) => f.fn(a))
+      .toDF.select(concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("target")).distinct()
+    c.kind match {
+      case 0 => GraphOps.degrees(co).orderBy("node_id")
+      case 1 => GraphOps.removeDanglingEdges(co.union(op), Nil, maxIter = 1)
+        .orderBy("src", "target")
+      case 2 => GraphOps.removeDanglingEdges(co.union(op), Seq("p1", "p2"),
+        maxIter = 1).orderBy("src", "target")
+      case _ =>
+        val roots = co.select(col("src").as("node_id")).distinct()
+        GraphOps.bfsLevels(co.union(op), roots).orderBy("node_id")
+    }
+  }
+
+  private def graphOracle(c: GraphCase): String = {
+    def w(fs: Seq[Filter]) = s" WHERE ${fs.map(_.sql).mkString(" AND ")}"
+    val co = s"SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS target " +
+      s"FROM orders${w(c.fo)}"
+    val op = s"SELECT DISTINCT 'o' || l_orderkey AS src, " +
+      s"'p' || l_partkey AS target FROM lineitem${w(c.fl)}"
+    c.kind match {
+      case 0 =>
+        s"""WITH e AS ($co),
+            o AS (SELECT src AS node_id, CAST(count(*) AS BIGINT) AS out_degree
+                  FROM e GROUP BY src),
+            i AS (SELECT target AS node_id, CAST(count(*) AS BIGINT) AS in_degree
+                  FROM e GROUP BY target)
+            SELECT coalesce(o.node_id, i.node_id) AS node_id,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree
+            FROM o FULL JOIN i ON o.node_id = i.node_id ORDER BY node_id"""
+      case 1 | 2 =>
+        val retain = if (c.kind == 2) " OR target IN ('p1', 'p2')" else ""
+        s"""WITH e AS ($co UNION ALL $op)
+            SELECT src, target FROM e
+            WHERE target IN (SELECT src FROM e)$retain
+            ORDER BY src, target"""
+      case _ =>
+        s"""WITH co AS ($co), op AS ($op)
+            SELECT node_id, level FROM (
+              SELECT DISTINCT src AS node_id, 0 AS level FROM co
+              UNION SELECT DISTINCT target, 1 FROM co
+              UNION SELECT DISTINCT op.target, 2 FROM op
+                    WHERE op.src IN (SELECT target FROM co))
+            ORDER BY node_id"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graphPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => graphQuery(c)(s, dir))).toMap ++
     textPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => textQuery(c)(s, dir))).toMap ++
     setOpPipelines.map(c => c.name ->
@@ -734,6 +814,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    graphPipelines.map(c => c.name -> graphOracle(c)).toMap ++
     textPipelines.map(c => c.name -> textOracle(c)).toMap ++
     setOpPipelines.map(c => c.name -> setOpOracle(c)).toMap ++
     windowPipelines.map(c => c.name -> windowOracle(c)).toMap ++
