@@ -50,7 +50,15 @@ class Round9Spec extends SparkTestBase {
     // the 1000 synthesized wide columns derive from 4 source columns;
     // the scan must read only those 4
     ("q_wide_cols", None,
-      Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+    // single-key derivation gates: everything computes from o_orderkey,
+    // so the orders scan must read exactly that one column
+    ("q_ipv4_hex", None, Set("o_orderkey")),
+    ("q_duration_roundtrip", None, Set("o_orderkey")),
+    // the xpath filter itself is not scan-translatable (get_json_object
+    // over a computed column), but the projection must still prune
+    ("q_filter_json_xpath", None,
+      Set("o_orderkey", "o_orderpriority", "o_custkey"))
   )
 
   test("plan audit: filter pushdown + column pruning reach the parquet scan") {
