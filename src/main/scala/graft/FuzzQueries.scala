@@ -752,7 +752,120 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated DEDUP pipelines (q_fuzz_56..59) =====
+  // The LLM-pipeline dedup family composed with seeded document-metadata
+  // filters: exact dedup over a planted-duplicate corpus, contamination
+  // report / decontaminate with seeded n-gram size, eval-set modulus and
+  // min-match threshold, and pairwise n-gram Jaccard over a seeded id
+  // range with a seeded similarity cut. Oracles are deliberately
+  // NON-recursive (no CC closure), so the family runs through the plain
+  // DuckDB compare at every SF including the sf1 sweep. Jaccard
+  // thresholds come from an exactly-representable binary pool so the
+  // strict `>` cut can never straddle an ulp between engines.
+
+  private case class DedupCase(name: String, kind: Int, fs: Seq[Filter],
+                               n: Int, m: Int, mm: Int, bound: Int,
+                               thr: Double)
+
+  private val dedupPipelines: Seq[DedupCase] = {
+    val rnd = new scala.util.Random(565656L)
+    (0 until 4).map { i =>
+      DedupCase(f"q_fuzz_${56 + i}%02d", i,
+        Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd, documentsTable)),
+        n = 2 + rnd.nextInt(3),
+        m = Seq(23, 31, 41)(rnd.nextInt(3)),
+        mm = 1 + rnd.nextInt(2),
+        bound = 15 + rnd.nextInt(16),
+        thr = Seq(0.0, 0.0625, 0.125)(rnd.nextInt(3)))
+    }
+  }
+
+  private def dedupDocs(s: SparkSession, dir: String, fs: Seq[Filter]): DataFrame =
+    fs.foldLeft(XDF(s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")))((x, f) => f.fn(x)).toDF
+
+  private def dedupQuery(c: DedupCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val f = dedupDocs(s, dir, c.fs)
+    def evalDocs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % c.m === 0)
+    c.kind match {
+      case 0 =>
+        val dupped = f.union(f.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.exact(dupped, "text", "doc_id")
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      case 1 =>
+        Dedup.contaminationReport(f, "doc_id", "text", evalDocs, "text", n = c.n)
+          .orderBy("doc_id")
+      case 2 =>
+        Dedup.decontaminate(f, "doc_id", "text", evalDocs, "text",
+            n = c.n, minMatches = c.mm)
+          .select("doc_id", "lang").orderBy("doc_id")
+      case _ =>
+        // bounded-id pair study: the crossJoin is a broadcast demo over a
+        // seeded handful of docs (the scale path is LSH, gated elsewhere)
+        val p = f.filter(col("doc_id") < c.bound)
+        val a = p.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = p.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+          .withColumn("jc", Dedup.ngramJaccard(col("text_a"), col("text_b"), c.n))
+          .filter(col("jc") > c.thr)
+          .select(col("id_a"), col("id_b"), round(col("jc"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+    }
+  }
+
+  private def dedupOracle(c: DedupCase): String = {
+    import TrainingQueries.{toksSql, shinglesSql}
+    val where = s" WHERE ${c.fs.map(_.sql).mkString(" AND ")}"
+    // corpus-side (filtered) and eval-side (modulus) distinct shingle CTEs
+    def gramCtes = s"""ct AS (SELECT doc_id, $toksSql AS toks FROM documents$where),
+        csh AS (SELECT doc_id, list_distinct(${shinglesSql(c.n)}) AS s FROM ct),
+        et AS (SELECT doc_id, $toksSql AS toks FROM documents
+               WHERE doc_id % ${c.m} = 0),
+        esh AS (SELECT doc_id, list_distinct(${shinglesSql(c.n)}) AS s FROM et),
+        ev AS (SELECT DISTINCT unnest(s) AS g FROM esh),
+        dg AS (SELECT doc_id, unnest(s) AS g FROM csh)"""
+    c.kind match {
+      case 0 =>
+        s"""WITH f AS (SELECT doc_id, text, lang, n_chars FROM documents$where),
+            dupped AS (SELECT * FROM f
+                       UNION ALL
+                       SELECT doc_id + 1000000, text, lang, n_chars FROM f)
+            SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+                   arg_min(n_chars, doc_id) AS n_chars
+            FROM dupped GROUP BY text ORDER BY doc_id"""
+      case 1 =>
+        s"""WITH $gramCtes
+            SELECT dg.doc_id, count(*) AS eval_ngram_hits
+            FROM dg JOIN ev ON dg.g = ev.g
+            GROUP BY dg.doc_id ORDER BY doc_id"""
+      case 2 =>
+        s"""WITH $gramCtes,
+            bad AS (SELECT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g
+                    GROUP BY dg.doc_id HAVING count(*) >= ${c.mm})
+            SELECT d.doc_id, d.lang FROM documents d
+            $where AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id"""
+      case _ =>
+        s"""WITH p AS (SELECT doc_id, text FROM documents
+                       $where AND doc_id < ${c.bound}),
+            t AS (SELECT doc_id, $toksSql AS toks FROM p),
+            sh AS (SELECT doc_id, list_distinct(${shinglesSql(c.n)}) AS s FROM t),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jc
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(jc, 6) AS jaccard FROM pairs
+            WHERE jc > ${c.thr}
+            ORDER BY id_a, id_b"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    dedupPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => dedupQuery(c)(s, dir))).toMap ++
     graphPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => graphQuery(c)(s, dir))).toMap ++
     textPipelines.map(c => c.name ->
@@ -814,6 +927,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    dedupPipelines.map(c => c.name -> dedupOracle(c)).toMap ++
     graphPipelines.map(c => c.name -> graphOracle(c)).toMap ++
     textPipelines.map(c => c.name -> textOracle(c)).toMap ++
     setOpPipelines.map(c => c.name -> setOpOracle(c)).toMap ++

@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries ++
       Round2Queries.queries ++ Round4Queries.queries ++ FuzzQueries.queries ++
-      Round6Queries.queries ++ Round9Queries.queries ++ Round9bQueries.queries
+      Round6Queries.queries ++ Round9Queries.queries ++ Round9bQueries.queries ++
+      Round9cQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql ++
       Round2Queries.oracleSql ++ Round4Queries.oracleSql ++ FuzzQueries.oracleSql ++
-      Round6Queries.oracleSql ++ Round9Queries.oracleSql ++ Round9bQueries.oracleSql
+      Round6Queries.oracleSql ++ Round9Queries.oracleSql ++ Round9bQueries.oracleSql ++
+      Round9cQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -27,9 +27,11 @@ object TrainingQueries {
 
   // ---- shared oracle SQL fragments ----
 
-  private val toksSql = "regexp_split_to_array(text, '\\s+')"
+  // shared with FuzzQueries' dedup pipelines so the fuzz oracles cannot
+  // drift from the hand-written gates' tokenizer fragments
+  private[graft] val toksSql = "regexp_split_to_array(text, '\\s+')"
 
-  private def shinglesSql(n: Int): String =
+  private[graft] def shinglesSql(n: Int): String =
     s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
         ELSE list_transform(range(1, len(toks) - ${n - 1} + 1),
                i -> array_to_string(toks[i:i+${n - 1}], ' ')) END"""

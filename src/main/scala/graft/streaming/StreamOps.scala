@@ -223,6 +223,41 @@ object StreamOps {
       .drop("__sid__")
   }
 
+  /**
+   * Stream-stream event-time interval join: (l, r) pairs with equal keys
+   * where r's timestamp falls in [l.ts + lowerMs, l.ts + upperMs] — the
+   * "action A followed by action B within T" primitive (view->purchase
+   * attribution, error->retry correlation). Both inputs get the same
+   * watermark, and the time bound lives IN the join condition, which is
+   * what lets Structured Streaming size and evict join state instead of
+   * buffering both streams forever. Column names must be disjoint; the
+   * key columns are passed per side so the joined row keeps both.
+   *
+   * Also usable with two BATCH frames: the equality conjunct makes the
+   * batch planner pick a shuffled hash/sort-merge join on key with the
+   * interval as a residual predicate — never a nested-loop — so the
+   * batch twin (gated as q_interval_join_batch) is the same code path
+   * a backfill would run at 100 TB.
+   */
+  def intervalJoin(left: DataFrame, lKey: String, lTs: String,
+                   right: DataFrame, rKey: String, rTs: String,
+                   lowerMs: Long, upperMs: Long,
+                   watermark: String = null): DataFrame = {
+    require(lowerMs <= upperMs,
+      s"interval lower bound must be <= upper: [$lowerMs, $upperMs]")
+    val overlapping = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapping.isEmpty,
+      s"interval join sides must have disjoint column names, both have: " +
+        s"${overlapping.toSeq.sorted.mkString(", ")}")
+    val (l, r) =
+      if (watermark == null) (left, right)
+      else (left.withWatermark(lTs, watermark),
+            right.withWatermark(rTs, watermark))
+    l.join(r, col(lKey) === col(rKey) &&
+      col(rTs) >= col(lTs) + expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+      col(rTs) <= col(lTs) + expr(s"INTERVAL $upperMs MILLISECONDS"))
+  }
+
   /** Write to an in-memory sink for tests / bounded polls (the
     * reference's bounded-read semantics: process what arrived, stop). */
   def runToMemory(stream: DataFrame, queryName: String,
