@@ -863,7 +863,96 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated AS-OF JOIN pipelines (q_fuzz_60..63) =====
+  // The point-in-time join (§2.5 beyond-parity) composed with seeded
+  // filters on BOTH sides — the only join flavor the fuzz harness did
+  // not cover. Left = events with a DERIVED date (1992-01-01 +
+  // event_id % modDays) so left timestamps genuinely interleave with
+  // o_orderdate instead of all landing after it; right = seeded-filtered
+  // orders pre-aggregated to unique (user, date) per the merge_asof
+  // contract. DuckDB's native ASOF LEFT JOIN is the oracle. The events
+  // scan selects only (event_id, user_id, event_type, value) — the
+  // dual-encoded ts column is never read, so no loader normalization is
+  // involved.
+
+  private val eventsTable = Table("events",
+    Seq(Col("event_id", "int"), Col("user_id", "int"),
+      Col("event_type", "str"), Col("value", "float")),
+    strPool = Map(
+      "event_type" -> Seq("click", "purchase", "error", "signup", "view")),
+    numPool = Map(
+      "event_id" -> Seq(500L, 5000L),
+      "user_id" -> Seq(20L, 80L),
+      "value" -> Seq(50L, 150L, 300L)))
+
+  private case class AsofCase(name: String, fe: Seq[Filter], fo: Seq[Filter],
+                              agg: Boolean, modDays: Int)
+
+  private val asofPipelines: Seq[AsofCase] = {
+    val rnd = new scala.util.Random(606060L)
+    val orders = tables.find(_.name == "orders").get
+    (0 until 4).map { i =>
+      AsofCase(f"q_fuzz_${60 + i}%02d",
+        Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd, eventsTable)),
+        Seq(genFilter(rnd, orders)),
+        agg = i % 2 == 1,
+        modDays = Seq(1200, 2400)(rnd.nextInt(2)))
+    }
+  }
+
+  private def asofQuery(c: AsofCase)(s: SparkSession, dir: String): DataFrame = {
+    val left = c.fe.foldLeft(XDF(s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")))((x, f) => f.fn(x))
+      .toDF
+      .withColumn("dts", date_add(to_date(lit("1992-01-01")),
+        (col("event_id") % c.modDays).cast("int")))
+    val orders = tables.find(_.name == "orders").get
+    // filtersOn prunes to the fuzz table's declared columns, which would
+    // drop o_orderdate — widen the scan by hand
+    val oBase = XDF(s.read.parquet(s"$dir/orders.parquet")
+      .select((orders.cols.map(_.name) :+ "o_orderdate").map(col): _*))
+    val right = c.fo.foldLeft(oBase)((x, f) => f.fn(x)).toDF
+      .select(col("o_custkey").as("user_id"),
+        to_date(col("o_orderdate")).as("odt"), col("o_orderkey"))
+      .groupBy("user_id", "odt").agg(max("o_orderkey").as("last_orderkey"))
+    val joined = graft.operators.AsofJoin.asofJoinBackward(
+      left, right, Seq("user_id"), "dts", "odt", Seq("last_orderkey"))
+    if (c.agg)
+      joined.groupBy("event_type").agg(count(lit(1)).as("n"),
+          count(col("last_orderkey")).as("n_matched"),
+          min("last_orderkey").as("min_lok"), max("last_orderkey").as("max_lok"))
+        .orderBy("event_type")
+    else
+      joined.select("event_id", "user_id", "event_type", "last_orderkey")
+        .orderBy("event_id")
+  }
+
+  private def asofOracle(c: AsofCase): String = {
+    def w(fs: Seq[Filter]) = s" WHERE ${fs.map(_.sql).mkString(" AND ")}"
+    val base = s"""l AS (SELECT event_id, user_id, event_type,
+             DATE '1992-01-01' + ((event_id % ${c.modDays})::INT) AS dts
+           FROM events${w(c.fe)}),
+          r AS (SELECT o_custkey AS user_id, o_orderdate::DATE AS odt,
+             max(o_orderkey) AS last_orderkey
+           FROM orders${w(c.fo)} GROUP BY 1, 2),
+          j AS (SELECT l.event_id, l.user_id, l.event_type, r.last_orderkey
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.dts >= r.odt)"""
+    if (c.agg)
+      s"""WITH $base
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(last_orderkey) AS BIGINT) AS n_matched,
+                 min(last_orderkey) AS min_lok, max(last_orderkey) AS max_lok
+          FROM j GROUP BY event_type ORDER BY event_type"""
+    else
+      s"""WITH $base
+          SELECT event_id, user_id, event_type, last_orderkey FROM j
+          ORDER BY event_id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    asofPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => asofQuery(c)(s, dir))).toMap ++
     dedupPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => dedupQuery(c)(s, dir))).toMap ++
     graphPipelines.map(c => c.name ->
@@ -927,6 +1016,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    asofPipelines.map(c => c.name -> asofOracle(c)).toMap ++
     dedupPipelines.map(c => c.name -> dedupOracle(c)).toMap ++
     graphPipelines.map(c => c.name -> graphOracle(c)).toMap ++
     textPipelines.map(c => c.name -> textOracle(c)).toMap ++

@@ -86,6 +86,18 @@ object Round9cQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Morton/Z interleave for layout clustering (Layout.zValue) — the
+    // oracle recomputes the interleave arithmetically in DuckDB, so the
+    // bit math is pinned cross-engine; the layout side (contiguous
+    // Z-range partitions) is law-tested in LayoutSpec
+    "q_zorder_value" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y"))
+      base.withColumn("z", graft.operators.Layout.zValue(col("x"), col("y"), 10))
+        .orderBy("l_orderkey", "l_linenumber", "x", "y", "z")
+    }),
+
     // two-level mergeable rollup: per-(flag,status,year) sketches built
     // once, merged to (flag,status) WITHOUT rescanning rows — the
     // pre-aggregated sketch-table pattern. mod 256 pins the coupon-exact
@@ -148,6 +160,15 @@ object Round9cQueries {
          FROM a JOIN b ON a.u = b.u
            AND b_ms >= a_ms AND b_ms <= a_ms + 7200000
          ORDER BY a_id, b_id""",
+
+    "q_zorder_value" ->
+      """SELECT l_orderkey, l_linenumber, x, y,
+                CAST(list_sum(list_transform(range(0, 10), i ->
+                  (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+                  AS BIGINT) AS z
+         FROM (SELECT l_orderkey, l_linenumber, l_partkey % 1024 AS x,
+                      l_suppkey % 1024 AS y FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, x, y, z""",
 
     "q_hll_distinct_union" ->
       """SELECT l_returnflag, l_linestatus,

@@ -45,7 +45,15 @@ class Round6Spec extends SparkTestBase {
     "q_fuzz_40" ->
       "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only",
     "q_fuzz_43" ->
-      "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only"
+      "window-fuzz GLOBAL cumsum: distributed prefix sum, window keyed by the BOUNDED physical partition id only",
+    "q_fuzz_60" ->
+      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)",
+    "q_fuzz_61" ->
+      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)",
+    "q_fuzz_62" ->
+      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)",
+    "q_fuzz_63" ->
+      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)"
   )
 
   test("plan audit: no gate windows outside the audited whitelist") {
