@@ -950,7 +950,75 @@ object FuzzQueries {
           ORDER BY event_id"""
   }
 
+  // ===== generated SESSIONIZE pipelines (q_fuzz_64..67) =====
+  // Gap-based sessionization (§2.13's batch twin) under seeded event
+  // filters and seeded gap widths, against the DuckDB gaps-and-islands
+  // oracle; half the cases roll sessions up per key. `value` quantizes
+  // to cents (the q_sessionize_batch convention) so session sums are
+  // integer-valued doubles — order-exact on both engines. Events load
+  // through Tables (the ts column's dual physical encoding) and ties at
+  // identical ts_ms are harmless: a tie's lag-diff is 0, so its break
+  // flag is 0 under any tie order, and session aggregates are
+  // order-free.
+
+  private case class SessCase(name: String, fe: Seq[Filter], gapMs: Long,
+                              agg: Boolean)
+
+  private val sessPipelines: Seq[SessCase] = {
+    val rnd = new scala.util.Random(646464L)
+    (0 until 4).map { i =>
+      SessCase(f"q_fuzz_${64 + i}%02d",
+        Seq.fill(1 + rnd.nextInt(2))(genFilter(rnd, eventsTable)),
+        gapMs = Seq(600000L, 3600000L, 40000000L)(rnd.nextInt(3)),
+        agg = i % 2 == 1)
+    }
+  }
+
+  private def sessQuery(c: SessCase)(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val filtered = c.fe.foldLeft(XDF(base))((x, f) => f.fn(x)).toDF
+      .select(col("user_id"), Tables.tsMillis("ts").as("ts_ms"),
+        round(col("value") * 100).as("cents"))
+    val sess = graft.streaming.StreamOps.sessionizeBatch(
+      filtered, "user_id", "ts_ms", "cents", c.gapMs)
+    if (c.agg)
+      sess.groupBy("key").agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("sum_events"), max("n_events").as("max_events"),
+          sum("value_sum").as("total_cents"))
+        .orderBy("key")
+    else sess.orderBy("key", "session_start")
+  }
+
+  private def sessOracle(c: SessCase): String = {
+    val where = s" WHERE ${c.fe.map(_.sql).mkString(" AND ")}"
+    val base = s"""e0 AS (SELECT user_id, value, ts FROM events$where),
+          e AS (SELECT user_id::VARCHAR AS key, epoch_ns(ts) // 1000000 AS ts_ms,
+                  round(value * 100) AS cents FROM e0),
+          f AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                    (PARTITION BY key ORDER BY ts_ms) > ${c.gapMs}
+                  THEN 1 ELSE 0 END AS brk FROM e),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY key ORDER BY ts_ms) AS sid
+                FROM f),
+          sess AS (SELECT key, min(ts_ms) AS session_start,
+                     max(ts_ms) AS session_end, count(*)::BIGINT AS n_events,
+                     sum(cents) AS value_sum
+                   FROM s GROUP BY key, sid)"""
+    if (c.agg)
+      s"""WITH $base
+          SELECT key, CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(sum(n_events) AS BIGINT) AS sum_events,
+                 max(n_events) AS max_events, sum(value_sum) AS total_cents
+          FROM sess GROUP BY key ORDER BY key"""
+    else
+      s"""WITH $base
+          SELECT key, session_start, session_end, n_events, value_sum
+          FROM sess ORDER BY key, session_start"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sessPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => sessQuery(c)(s, dir))).toMap ++
     asofPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => asofQuery(c)(s, dir))).toMap ++
     dedupPipelines.map(c => c.name ->
@@ -1016,6 +1084,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    sessPipelines.map(c => c.name -> sessOracle(c)).toMap ++
     asofPipelines.map(c => c.name -> asofOracle(c)).toMap ++
     dedupPipelines.map(c => c.name -> dedupOracle(c)).toMap ++
     graphPipelines.map(c => c.name -> graphOracle(c)).toMap ++

@@ -53,7 +53,15 @@ class Round6Spec extends SparkTestBase {
     "q_fuzz_62" ->
       "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)",
     "q_fuzz_63" ->
-      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)"
+      "asof-fuzz: last-value carry within the join-key partition is the as-of merge itself (same shape as q_asof_join)",
+    "q_fuzz_64" ->
+      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)",
+    "q_fuzz_65" ->
+      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)",
+    "q_fuzz_66" ->
+      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)",
+    "q_fuzz_67" ->
+      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)"
   )
 
   test("plan audit: no gate windows outside the audited whitelist") {
