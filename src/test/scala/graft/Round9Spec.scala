@@ -58,7 +58,21 @@ class Round9Spec extends SparkTestBase {
     // the xpath filter itself is not scan-translatable (get_json_object
     // over a computed column), but the projection must still prune
     ("q_filter_json_xpath", None,
-      Set("o_orderkey", "o_orderpriority", "o_custkey"))
+      Set("o_orderkey", "o_orderpriority", "o_custkey")),
+    // two-table range join: the allowed set is the union of both sides'
+    // live columns (names are disjoint per table, so the bound is still
+    // tight per scan); the quantity filter must reach the lineitem scan
+    ("q_range_join_point", Some("l_quantity"),
+      Set("o_orderkey", "o_orderdate", "o_orderpriority", "o_custkey",
+        "l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_shipdate")),
+    // the event_type filters must reach the events scan (both branches),
+    // and only 4 of events' 6 columns may be read
+    ("q_interval_join_batch", Some("event_type"),
+      Set("event_id", "user_id", "event_type", "ts")),
+    ("q_zorder_value", None,
+      Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+    ("q_hll_distinct_union", None,
+      Set("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"))
   )
 
   test("plan audit: filter pushdown + column pruning reach the parquet scan") {
