@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.Sketches
+import graft.operators.Layout
+
+/**
+ * Fourth round-9 batch: the mergeable-summary algebra beyond HLL and the
+ * deterministic training-shard layout.
+ *
+ * - q_theta_overlap: Theta sketches ([[graft.plans.ThetaSketchAgg]]) in
+ *   their exact regime — per-year audience union/intersection/difference
+ *   from a (year, month) sketch table rolled up WITHOUT rescanning rows;
+ *   the custkey domain is folded mod 1024 (< nomEntries 4096) so every
+ *   estimate is exact and the DuckDB oracle is count(DISTINCT) +
+ *   inclusion-exclusion.
+ * - q_kll_quantiles: KLL quantile sketches ([[graft.plans.KllQuantileAgg]])
+ *   in their exact regime — per-flag p25/p50/p75 from (flag, year)
+ *   sketches merged per flag; total n per sketch stays under k = 8192,
+ *   where getQuantile(q, INCLUSIVE) is exactly the sorted item at
+ *   1-based index ceil(q*n), reproduced in the oracle via
+ *   list_sort(list(v))[ceil(q*count(*))].
+ * - q_shard_assign: [[graft.operators.Layout.shardAssign]] — md5-seeded
+ *   shard id + within-shard order, the engine-portable deterministic
+ *   global shuffle for training output; the oracle recomputes both
+ *   hashes verbatim.
+ */
+object Round9dQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_theta_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(to_date(col("o_orderdate"))).as("yr"),
+        month(to_date(col("o_orderdate"))).as("mo"),
+        pmod(col("o_custkey"), lit(1024L)).as("ck"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      val fine = o.groupBy("yr", "mo").agg(
+        Sketches.thetaSketch(when(col("o_orderpriority") === "1-URGENT",
+          col("ck"))).as("ska"),
+        Sketches.thetaSketch(when(col("o_orderstatus") === "F",
+          col("ck"))).as("skb"))
+      fine.groupBy("yr")
+        .agg(Sketches.thetaUnion(col("ska")).as("ua"),
+          Sketches.thetaUnion(col("skb")).as("ub"))
+        .select(col("yr"),
+          Sketches.thetaEstimate(col("ua")).as("nd_a"),
+          Sketches.thetaEstimate(col("ub")).as("nd_b"),
+          Sketches.thetaEstimate(Sketches.thetaUnionPair(col("ua"), col("ub")))
+            .as("nd_union"),
+          Sketches.thetaEstimate(Sketches.thetaIntersect(col("ua"), col("ub")))
+            .as("nd_both"),
+          Sketches.thetaEstimate(Sketches.thetaANotB(col("ua"), col("ub")))
+            .as("nd_a_only"))
+        .orderBy("yr")
+    }),
+
+    "q_kll_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(1009L)) === 0)
+        .select(col("l_returnflag"),
+          year(to_date(col("l_shipdate"))).as("yr"),
+          floor(col("l_extendedprice")).cast(DoubleType).as("v"))
+      val fine = li.groupBy("l_returnflag", "yr")
+        .agg(Sketches.kllSketch(col("v"), 8192).as("sk"))
+      fine.groupBy("l_returnflag")
+        .agg(Sketches.kllMerge(col("sk"), 8192).as("m"))
+        .select(col("l_returnflag"),
+          Sketches.kllQuantile(col("m"), 0.25).as("p25"),
+          Sketches.kllQuantile(col("m"), 0.5).as("p50"),
+          Sketches.kllQuantile(col("m"), 0.75).as("p75"),
+          Sketches.kllN(col("m")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_shard_assign" -> ((s, dir) => {
+      val sharded = Layout.shardAssign(
+        t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"),
+        nShards = 8, seedStr = "42")
+      sharded.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("ord").as("min_ord"),
+          max("ord").as("max_ord"), min("o_orderkey").as("min_key"))
+        .orderBy("shard")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_theta_overlap" ->
+      """WITH o AS (SELECT year(o_orderdate::DATE) AS yr,
+               o_custkey % 1024 AS ck,
+               o_orderpriority = '1-URGENT' AS ia,
+               o_orderstatus = 'F' AS ib
+             FROM orders)
+         SELECT yr,
+           CAST(count(DISTINCT CASE WHEN ia THEN ck END) AS BIGINT) AS nd_a,
+           CAST(count(DISTINCT CASE WHEN ib THEN ck END) AS BIGINT) AS nd_b,
+           CAST(count(DISTINCT CASE WHEN ia OR ib THEN ck END) AS BIGINT)
+             AS nd_union,
+           CAST(count(DISTINCT CASE WHEN ia THEN ck END)
+              + count(DISTINCT CASE WHEN ib THEN ck END)
+              - count(DISTINCT CASE WHEN ia OR ib THEN ck END) AS BIGINT)
+             AS nd_both,
+           CAST(count(DISTINCT CASE WHEN ia OR ib THEN ck END)
+              - count(DISTINCT CASE WHEN ib THEN ck END) AS BIGINT)
+             AS nd_a_only
+         FROM o GROUP BY yr ORDER BY yr""",
+
+    "q_kll_quantiles" ->
+      """WITH v AS (SELECT l_returnflag,
+               CAST(floor(l_extendedprice) AS DOUBLE) AS v
+             FROM lineitem WHERE l_orderkey % 1009 = 0)
+         SELECT l_returnflag,
+           (list_sort(list(v)))[CAST(ceil(0.25 * count(*)) AS BIGINT)] AS p25,
+           (list_sort(list(v)))[CAST(ceil(0.5 * count(*)) AS BIGINT)] AS p50,
+           (list_sort(list(v)))[CAST(ceil(0.75 * count(*)) AS BIGINT)] AS p75,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM v GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_shard_assign" ->
+      """WITH s AS (SELECT o_orderkey,
+               CAST(('0x' || substr(md5(coalesce(o_orderkey::VARCHAR, chr(0))
+                   || chr(1) || '42'), 1, 8))::BIGINT % 8 AS INT) AS shard,
+               md5(coalesce(o_orderkey::VARCHAR, chr(0)) || chr(1) || '42#o')
+                 AS ord
+             FROM orders)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n, min(ord) AS min_ord,
+                max(ord) AS max_ord, min(o_orderkey) AS min_key
+         FROM s GROUP BY shard ORDER BY shard""")
+}

@@ -27,13 +27,13 @@ object SparkEntry {
     coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries ++
       Round2Queries.queries ++ Round4Queries.queries ++ FuzzQueries.queries ++
       Round6Queries.queries ++ Round9Queries.queries ++ Round9bQueries.queries ++
-      Round9cQueries.queries
+      Round9cQueries.queries ++ Round9dQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql ++
       Round2Queries.oracleSql ++ Round4Queries.oracleSql ++ FuzzQueries.oracleSql ++
       Round6Queries.oracleSql ++ Round9Queries.oracleSql ++ Round9bQueries.oracleSql ++
-      Round9cQueries.oracleSql
+      Round9cQueries.oracleSql ++ Round9dQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -48,4 +48,48 @@ object Layout {
     val z = zValue(col(xCol), col(yCol), bits)
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
+
+  // ===== deterministic training shards =====
+  // The OUTPUT side of a training-data pipeline: examples must land in a
+  // fixed number of shards, globally shuffled, and the assignment must be
+  // reproducible across engines and re-runs (resumable jobs, differential
+  // audits). Both the shard id and the within-shard order derive from
+  // md5 of (id columns, seed) — the same portable-hash contract as the
+  // sampling gates (core/Sampling.scala portableKeyMaterial) — so the
+  // exact layout reproduces in any engine with md5, and changing the
+  // seed is a fresh global shuffle without touching the data.
+
+  private def keyMaterial(keys: Seq[Column], seedStr: String): Column =
+    concat_ws("\u0001",
+      keys.map(k => coalesce(k.cast(org.apache.spark.sql.types.StringType),
+        lit("\u0000"))) :+ lit(seedStr): _*)
+
+  /** Add `shard` (0..nShards-1) and `ord` (within-shard sort key): shard
+    * from the first 8 md5 hex digits of (ids, seed), order from the full
+    * md5 of (ids, seed+"#o"). Pure column expressions — no shuffle until
+    * [[shardRepartition]]. */
+  def shardAssign(df: DataFrame, idCols: Seq[String], nShards: Int,
+                  seedStr: String = "0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    require(idCols.nonEmpty, "idCols must be non-empty")
+    val ids = idCols.map(col)
+    df.withColumn("shard",
+        pmod(conv(substring(md5(keyMaterial(ids, seedStr)), 1, 8), 16, 10)
+          .cast(LongType), lit(nShards.toLong)).cast("int"))
+      .withColumn("ord", md5(keyMaterial(ids, seedStr + "#o")))
+  }
+
+  /** One shuffle to the physical shard layout: hash-partition on the
+    * shard id — every shard lands WHOLE in exactly one task partition
+    * (a partition may carry several shards; hash is not identity) — then
+    * sort within partitions by (shard, ord) so each shard's rows are
+    * contiguous and deterministically shuffled. `.write.partitionBy
+    * ("shard")` then emits exactly one sorted file per shard per
+    * partition. */
+  def shardRepartition(df: DataFrame, idCols: Seq[String], nShards: Int,
+                       seedStr: String = "0"): DataFrame =
+    shardAssign(df, idCols, nShards, seedStr)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"),
+        keyMaterial(idCols.map(col), "tie"))
 }

@@ -55,4 +55,42 @@ class LayoutSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("shardAssign is a seeded permutation: deterministic, balanced-ish, seed-sensitive") {
+    val df = spark.range(2000).toDF("id")
+    val a = Layout.shardAssign(df, Seq("id"), 8, "42")
+      .select("id", "shard", "ord").as[(Long, Int, String)].collect().sortBy(_._1)
+    val b = Layout.shardAssign(df, Seq("id"), 8, "42")
+      .select("id", "shard", "ord").as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // re-run identical
+    val c = Layout.shardAssign(df, Seq("id"), 8, "43")
+      .select("id", "shard").as[(Long, Int)].collect().sortBy(_._1)
+    assert(a.map(_._2).toSeq !== c.map(_._2).toSeq) // new seed reshuffles
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size === 8)
+    // md5 spread: every shard within 2x of the mean at n=2000
+    sizes.values.foreach(n => assert(n > 125 && n < 500, sizes.toMap))
+  }
+
+  test("shardRepartition: shards are whole, contiguous, and ord-sorted in partitions") {
+    val df = spark.range(1500).toDF("id")
+    val parts = Layout.shardRepartition(df, Seq("id"), 6, "7")
+      .select(spark_partition_id().as("p"), col("shard"), col("ord"), col("id"))
+      .as[(Int, Int, String, Long)].collect()
+      .groupBy(_._1)
+    // a shard never straddles two partitions
+    val shardHomes = parts.toSeq.flatMap { case (p, rows) =>
+      rows.map(_._2).distinct.map(_ -> p) }
+    assert(shardHomes.map(_._1).distinct.length === shardHomes.length,
+      s"shard split across partitions: $shardHomes")
+    // within a partition: shards contiguous, each shard ord-sorted
+    parts.values.foreach { rows =>
+      assert(rows.map(r => (r._2, r._3)).toSeq ===
+        rows.map(r => (r._2, r._3)).sortBy(identity).toSeq,
+        "rows must be (shard, ord)-sorted within the partition")
+    }
+    // all 6 shards present, rows conserved
+    assert(parts.values.flatMap(_.map(_._4)).toSeq.sorted === (0L until 1500L))
+    assert(parts.values.flatMap(_.map(_._2)).toSet.size === 6)
+  }
 }
