@@ -78,6 +78,19 @@ object Round9dQueries {
         .orderBy("l_returnflag")
     }),
 
+    // cross-document repeated-substring spans (ExactSubstr-style): every
+    // token position whose 8-gram recurs in ANOTHER doc, merged to
+    // maximal spans — the boilerplate/quote-block finder. Oracle is the
+    // same relational pipeline in DuckDB (grams -> min!=max doc test ->
+    // gaps-and-islands), so the whole shape is value-pinned.
+    "q_dup_spans" -> ((s, dir) => {
+      graft.operators.Dedup.duplicatedNgramSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("n_grams"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q_shard_assign" -> ((s, dir) => {
       val sharded = Layout.shardAssign(
         t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"),
@@ -120,6 +133,27 @@ object Round9dQueries {
            (list_sort(list(v)))[CAST(ceil(0.75 * count(*)) AS BIGINT)] AS p75,
            CAST(count(*) AS BIGINT) AS n_rows
          FROM v GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ts
+             FROM documents WHERE length(text) > 0
+               AND len(regexp_split_to_array(text, '\s+')) >= 8),
+          p AS (SELECT doc_id, unnest(range(1, len(ts) - 8 + 2)) AS i, ts
+                FROM t),
+          gr AS (SELECT doc_id, i,
+                   md5(array_to_string(ts[i:i+7], ' ')) AS g FROM p),
+          dup AS (SELECT g FROM gr GROUP BY g
+                  HAVING min(doc_id) <> max(doc_id)),
+          m AS (SELECT doc_id, i FROM gr SEMI JOIN dup USING (g)),
+          b AS (SELECT doc_id, i,
+                  CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    < 8 THEN 0 ELSE 1 END AS brk FROM m),
+          isl AS (SELECT doc_id, i,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                  FROM b)
+         SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+                CAST(count(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
 
     "q_shard_assign" ->
       """WITH s AS (SELECT o_orderkey,

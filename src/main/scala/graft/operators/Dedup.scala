@@ -473,4 +473,62 @@ object Dedup {
       .filter(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ===== cross-document repeated substrings (ExactSubstr-style) =====
+
+  /**
+   * Token positions whose n-gram recurs in ANOTHER document, merged into
+   * maximal spans — the span-level half of training-data dedup
+   * (document-level near-dup removes whole docs; this finds the
+   * boilerplate/quote/license blocks REPEATED ACROSS documents, the
+   * "exact substring" dedup of Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better", ACL 2022, re-expressed relationally).
+   *
+   * Output: one row per maximal duplicated span —
+   * `(idCol, span_start, span_end, n_grams)`, token positions 1-based
+   * inclusive, spans merged while consecutive duplicated grams overlap
+   * (gap < n).
+   *
+   * Scale shape (no suffix array, no all-pairs): tokenize → one
+   * `posexplode` to (doc, pos, md5(gram)) rows → ONE shuffle on the gram
+   * hash to find grams spanning >= 2 distinct docs (the per-gram state
+   * is a count capped at 2, so a boilerplate gram repeated millions of
+   * times costs one partial per partition, not a hot-key list) → semi
+   * join back → per-doc window to merge positions into spans. Gram
+   * hashes are md5 (codegen'd, oracle-portable); only the 16-byte hash
+   * shuffles, never the gram text.
+   */
+  def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col(textCol))
+    // docs shorter than n tokens contribute no n-grams (slice-pad grams
+    // from a short tail would double-count; the reference shingler's
+    // whole-doc fallback is a DIFFERENT op - minhash wants >=1 shingle)
+    val grams = df
+      .filter(length(col(textCol)) > 0 && size(toks) >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
+    // capped two-distinct-docs test: min/max doc per gram differ <=>
+    // >= 2 docs share it; constant state per gram partial, skew-proof
+    val dup = grams.groupBy("g")
+      .agg(min(col(idCol)).as("__lo__"), max(col(idCol)).as("__hi__"))
+      .filter(col("__lo__") =!= col("__hi__"))
+      .select("g")
+    val marks = grams.join(dup, Seq("g"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    marks
+      .withColumn("__brk__",
+        when(col("pos") - lag("pos", 1).over(w) < n, lit(0)).otherwise(lit(1)))
+      .withColumn("__grp__", sum("__brk__").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp__"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__grp__")
+  }
 }

@@ -390,4 +390,47 @@ class OperatorsSpec extends SparkTestBase {
       .collect()
     out.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("duplicatedNgramSpans == brute force on a planted corpus, any partitioning") {
+    import spark.implicits._
+    // d1/d2 share an interior 4-gram block; d3 shares d1's tail; d4 has an
+    // internal repeat only (must NOT mark); d5 is clean; d6 is short
+    val docs = Seq(
+      ("d1", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ("d2", "one two gamma delta epsilon zeta three four"),
+      ("d3", "x y zeta eta theta iota"),
+      ("d4", "rep rep rep rep rep rep rep rep"),
+      ("d5", "totally unique words only here now there then"),
+      ("d6", "too short"))
+    val n = 4
+    // brute force: cross-doc duplicated n-gram positions, merged spans
+    val grams = docs.flatMap { case (id, text) =>
+      val ts = text.split("\\s+")
+      (0 to ts.length - n).map(i => (id, i + 1, ts.slice(i, i + n).mkString(" ")))
+    }.filter { case (_, _, _) => true }
+    val byGram = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = grams.filter(g => byGram(g._3)).groupBy(_._1).flatMap {
+      case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        // islands: break when gap to the previous mark >= n
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head < n =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).reverse
+        islands.map(is => (id, is.head.toLong, (is.last + n - 1).toLong, is.size.toLong))
+    }.toSet
+    for (nPart <- Seq(1, 3, 7)) {
+      val got = Dedup.duplicatedNgramSpans(
+          docs.toDF("doc_id", "text").repartition(nPart), "doc_id", "text", n)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("n_grams"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"nPart=$nPart")
+    }
+    // sanity on the fixture itself: d4's internal repeat is unmarked,
+    // d1 carries two separate spans (d2-block and d3-tail merge check)
+    assert(!expected.exists(_._1 == "d4"))
+    assert(expected.count(_._1 == "d1") >= 1)
+  }
 }
