@@ -1035,7 +1035,172 @@ object FuzzQueries {
           FROM sess ORDER BY key, session_start"""
   }
 
+  // ===== generated SKETCH / SHARD / SPAN pipelines (q_fuzz_68..71) =====
+  // Seeded-filter coverage for the round-9d beyond-parity operators, one
+  // case per operator, each pinned in its EXACT regime so the plain
+  // DuckDB compare holds at every SF including sf1:
+  //   68 theta distinct algebra (custkey mod m < nomEntries -> exact;
+  //      oracle = count(DISTINCT) + inclusion-exclusion),
+  //   69 kll quantiles (1/p orderkey slice keeps total n << k -> exact;
+  //      oracle = list_sort index at ceil(q*n)),
+  //   70 deterministic shards (oracle recomputes both md5 hashes),
+  //   71 duplicated-span detection (oracle = same relational pipeline).
+
+  private case class SketchCase(name: String, kind: Int, fs: Seq[Filter],
+                                m: Long, p: Long, nShards: Int,
+                                seedStr: String, spanN: Int,
+                                qa: String, qb: String,
+                                pa: String, pb: String)
+
+  private val sketchPipelines: Seq[SketchCase] = {
+    val rnd = new scala.util.Random(686868L)
+    val prio = tables.head.strPool("o_orderpriority")
+    (0 until 4).map { i =>
+      val t = i match {
+        case 0 | 2 => tables.head       // orders
+        case 1 => tables(1)             // lineitem
+        case _ => documentsTable
+      }
+      val nf = if (i == 3) 1 else 1 + rnd.nextInt(2)
+      val Seq(a, b) = rnd.shuffle(prio).take(2)
+      SketchCase(f"q_fuzz_${68 + i}%02d", i,
+        Seq.fill(nf)(genFilter(rnd, t)),
+        m = Seq(512L, 1024L, 2048L)(rnd.nextInt(3)),
+        p = Seq(701L, 1009L, 1499L)(rnd.nextInt(3)),
+        nShards = Seq(4, 8, 16)(rnd.nextInt(3)),
+        seedStr = rnd.nextInt(100).toString,
+        spanN = 4 + rnd.nextInt(2),
+        qa = Seq("0.25", "0.5")(rnd.nextInt(2)),
+        qb = Seq("0.75", "0.9")(rnd.nextInt(2)),
+        pa = a, pb = b)
+    }
+  }
+
+  private def sketchQuery(c: SketchCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    def load(t: Table): DataFrame =
+      c.fs.foldLeft(XDF(s.read.parquet(s"$dir/${t.name}.parquet")
+        .select(t.cols.map(cc => col(cc.name)): _*)))((x, f) => f.fn(x)).toDF
+    c.kind match {
+      case 0 =>
+        val o = load(tables.head)
+          .select(pmod(col("o_custkey"), lit(c.m)).as("ck"),
+            col("o_orderpriority"), col("o_orderstatus"))
+        o.groupBy("o_orderstatus")
+          .agg(Sketches.thetaSketch(
+              when(col("o_orderpriority") === c.pa, col("ck"))).as("sa"),
+            Sketches.thetaSketch(
+              when(col("o_orderpriority") === c.pb, col("ck"))).as("sb"))
+          .select(col("o_orderstatus"),
+            Sketches.thetaEstimate(col("sa")).as("nd_a"),
+            Sketches.thetaEstimate(col("sb")).as("nd_b"),
+            Sketches.thetaEstimate(
+              Sketches.thetaUnionPair(col("sa"), col("sb"))).as("nd_union"),
+            Sketches.thetaEstimate(
+              Sketches.thetaIntersect(col("sa"), col("sb"))).as("nd_both"))
+          .orderBy("o_orderstatus")
+      case 1 =>
+        load(tables(1))
+          .filter(pmod(col("l_orderkey"), lit(c.p)) === 0)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice")).cast("double").as("v"))
+          .groupBy("l_returnflag")
+          .agg(Sketches.kllSketch(col("v"), 16384).as("sk"))
+          .select(col("l_returnflag"),
+            Sketches.kllQuantile(col("sk"), c.qa.toDouble).as("q_lo"),
+            Sketches.kllQuantile(col("sk"), c.qb.toDouble).as("q_hi"),
+            Sketches.kllN(col("sk")).as("n_rows"))
+          .orderBy("l_returnflag")
+      case 2 =>
+        graft.operators.Layout.shardAssign(
+            load(tables.head).select("o_orderkey"), Seq("o_orderkey"),
+            c.nShards, c.seedStr)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"), min("ord").as("min_ord"),
+            max("ord").as("max_ord"))
+          .orderBy("shard")
+      case _ =>
+        val docs = c.fs.foldLeft(XDF(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "lang", "source", "n_chars")))(
+            (x, f) => f.fn(x)).toDF
+        graft.operators.Dedup.duplicatedNgramSpans(
+            docs.select("doc_id", "text"), "doc_id", "text", c.spanN)
+          .select(col("doc_id"), col("span_start").cast("long"),
+            col("span_end").cast("long"), col("n_grams"))
+          .orderBy("doc_id", "span_start")
+    }
+  }
+
+  private def sketchOracle(c: SketchCase): String = {
+    val where = s" WHERE ${c.fs.map(_.sql).mkString(" AND ")}"
+    c.kind match {
+      case 0 =>
+        s"""WITH o AS (SELECT o_custkey % ${c.m} AS ck, o_orderpriority,
+                 o_orderstatus FROM orders$where)
+            SELECT o_orderstatus,
+              CAST(count(DISTINCT CASE WHEN o_orderpriority = '${c.pa}'
+                THEN ck END) AS BIGINT) AS nd_a,
+              CAST(count(DISTINCT CASE WHEN o_orderpriority = '${c.pb}'
+                THEN ck END) AS BIGINT) AS nd_b,
+              CAST(count(DISTINCT CASE WHEN o_orderpriority IN
+                ('${c.pa}', '${c.pb}') THEN ck END) AS BIGINT) AS nd_union,
+              CAST(count(DISTINCT CASE WHEN o_orderpriority = '${c.pa}'
+                THEN ck END)
+                 + count(DISTINCT CASE WHEN o_orderpriority = '${c.pb}'
+                THEN ck END)
+                 - count(DISTINCT CASE WHEN o_orderpriority IN
+                ('${c.pa}', '${c.pb}') THEN ck END) AS BIGINT) AS nd_both
+            FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      case 1 =>
+        s"""WITH v AS (SELECT l_returnflag,
+                 CAST(floor(l_extendedprice) AS DOUBLE) AS v
+               FROM lineitem$where AND l_orderkey % ${c.p} = 0)
+            SELECT l_returnflag,
+              (list_sort(list(v)))[CAST(ceil(${c.qa} * count(*)) AS BIGINT)]
+                AS q_lo,
+              (list_sort(list(v)))[CAST(ceil(${c.qb} * count(*)) AS BIGINT)]
+                AS q_hi,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM v GROUP BY l_returnflag ORDER BY l_returnflag"""
+      case 2 =>
+        s"""WITH s AS (SELECT
+                 CAST(('0x' || substr(md5(coalesce(o_orderkey::VARCHAR,
+                     chr(0)) || chr(1) || '${c.seedStr}'), 1, 8))::BIGINT
+                   % ${c.nShards} AS INT) AS shard,
+                 md5(coalesce(o_orderkey::VARCHAR, chr(0)) || chr(1)
+                   || '${c.seedStr}#o') AS ord
+               FROM orders$where)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n, min(ord) AS min_ord,
+                   max(ord) AS max_ord
+            FROM s GROUP BY shard ORDER BY shard"""
+      case _ =>
+        val n = c.spanN
+        s"""WITH t AS (SELECT doc_id,
+                 regexp_split_to_array(text, '\\s+') AS ts
+               FROM documents$where AND length(text) > 0
+                 AND len(regexp_split_to_array(text, '\\s+')) >= $n),
+            p AS (SELECT doc_id, unnest(range(1, len(ts) - $n + 2)) AS i, ts
+                  FROM t),
+            gr AS (SELECT doc_id, i,
+                     md5(array_to_string(ts[i:i+${n - 1}], ' ')) AS g FROM p),
+            dup AS (SELECT g FROM gr GROUP BY g
+                    HAVING min(doc_id) <> max(doc_id)),
+            m AS (SELECT doc_id, i FROM gr SEMI JOIN dup USING (g)),
+            b AS (SELECT doc_id, i,
+                    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                      ORDER BY i) < $n THEN 0 ELSE 1 END AS brk FROM m),
+            isl AS (SELECT doc_id, i,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                    FROM b)
+           SELECT doc_id, min(i) AS span_start, max(i) + ${n - 1} AS span_end,
+                  CAST(count(*) AS BIGINT) AS n_grams
+           FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sketchPipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => sketchQuery(c)(s, dir))).toMap ++
     sessPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => sessQuery(c)(s, dir))).toMap ++
     asofPipelines.map(c => c.name ->
@@ -1103,6 +1268,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    sketchPipelines.map(c => c.name -> sketchOracle(c)).toMap ++
     sessPipelines.map(c => c.name -> sessOracle(c)).toMap ++
     asofPipelines.map(c => c.name -> asofOracle(c)).toMap ++
     dedupPipelines.map(c => c.name -> dedupOracle(c)).toMap ++

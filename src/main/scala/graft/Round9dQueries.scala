@@ -91,6 +91,19 @@ object Round9dQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // strip the duplicated spans: covered tokens drop, survivors re-join
+    // with single spaces (token-normalized on both sides). n=5 marks a
+    // wider set than q_dup_spans' n=8, so the two gates pin different
+    // mark densities.
+    "q_strip_spans" -> ((s, dir) => {
+      graft.operators.Dedup.stripDuplicatedSpans(
+          t(s, dir, "documents").filter(col("text").isNotNull)
+            .select("doc_id", "text"), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     "q_shard_assign" -> ((s, dir) => {
       val sharded = Layout.shardAssign(
         t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"),
@@ -154,6 +167,35 @@ object Round9dQueries {
          SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
                 CAST(count(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_strip_spans" ->
+      """WITH t AS (SELECT doc_id, text,
+               regexp_split_to_array(text, '\s+') AS ts
+             FROM documents WHERE text IS NOT NULL),
+          eligible AS (SELECT doc_id, ts FROM t
+               WHERE length(text) > 0 AND len(ts) >= 5),
+          p AS (SELECT doc_id, unnest(range(1, len(ts) - 5 + 2)) AS i, ts
+                FROM eligible),
+          gr AS (SELECT doc_id, i,
+                   md5(array_to_string(ts[i:i+4], ' ')) AS g FROM p),
+          dup AS (SELECT g FROM gr GROUP BY g
+                  HAVING min(doc_id) <> max(doc_id)),
+          m AS (SELECT doc_id, i FROM gr SEMI JOIN dup USING (g)),
+          cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS pp
+                  FROM m),
+          tok AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pp, ts
+                  FROM t),
+          tk AS (SELECT tok.doc_id, tok.pp, ts[tok.pp] AS tk,
+                   cov.pp IS NOT NULL AS covered
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.pp = cov.pp)
+         SELECT doc_id,
+           coalesce(array_to_string(
+             list(tk ORDER BY pp) FILTER (WHERE NOT covered), ' '), '')
+             AS clean_text,
+           CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_removed
+         FROM tk GROUP BY doc_id ORDER BY doc_id""",
 
     "q_shard_assign" ->
       """WITH s AS (SELECT o_orderkey,

@@ -531,4 +531,37 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .drop("__grp__")
   }
+
+  /**
+   * Remove the cross-document duplicated spans found by
+   * [[duplicatedNgramSpans]] from each document: tokens covered by any
+   * span are dropped, survivors re-join with single spaces (output is
+   * token-normalized by construction). Adds `outCol` plus
+   * `n_kept`/`n_removed` token counts; docs without spans pass through
+   * (normalized) unchanged.
+   *
+   * Scale: the span table is tiny relative to the corpus (one row per
+   * maximal duplicated block); it aggregates per doc (few structs) and
+   * joins back on the doc id — one small shuffle — and the strip itself
+   * is a per-row HOF over (position, spans), linear in doc length times
+   * spans-per-doc, no second content shuffle.
+   */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, outCol: String = "clean_text"): DataFrame = {
+    val spans = duplicatedNgramSpans(df, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans__"))
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
+    val sp = coalesce(col("__spans__"),
+      array().cast("array<struct<s:int,e:int>>"))
+    val keptIdx = filter(sequence(lit(1), size(toks)),
+      i => !exists(sp, r => i >= r.getField("s") && i <= r.getField("e")))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(outCol,
+        concat_ws(" ", transform(keptIdx, i => element_at(toks, i))))
+      .withColumn("n_kept", size(keptIdx).cast(LongType))
+      .withColumn("n_removed", (size(toks) - size(keptIdx)).cast(LongType))
+      .drop("__spans__")
+  }
 }

@@ -432,5 +432,25 @@ class OperatorsSpec extends SparkTestBase {
     // d1 carries two separate spans (d2-block and d3-tail merge check)
     assert(!expected.exists(_._1 == "d4"))
     assert(expected.count(_._1 == "d1") >= 1)
+
+    // stripDuplicatedSpans: exactly the span-covered tokens drop,
+    // survivors re-join with single spaces; span-free docs pass through
+    // token-normalized; counts reconcile
+    val covered: Map[String, Set[Long]] = expected.groupBy(_._1).map {
+      case (id, sps) => id -> sps.flatMap(s => s._2 to s._3).toSet }
+    val stripped = Dedup.stripDuplicatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .select("doc_id", "clean_text", "n_kept", "n_removed")
+      .as[(String, String, Long, Long)].collect()
+    assert(stripped.length === docs.length)
+    stripped.foreach { case (id, clean, kept, removed) =>
+      val ts = docs.toMap.apply(id).split("\\s+")
+      val cov = covered.getOrElse(id, Set.empty)
+      val expectClean = ts.zipWithIndex.collect {
+        case (tok, i) if !cov((i + 1).toLong) => tok }.mkString(" ")
+      assert(clean === expectClean, id)
+      assert(kept === ts.length - cov.size, id)
+      assert(removed === cov.size, id)
+    }
   }
 }

@@ -61,7 +61,13 @@ class Round6Spec extends SparkTestBase {
     "q_fuzz_66" ->
       "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)",
     "q_fuzz_67" ->
-      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)"
+      "sessionize-fuzz: lag/cumsum within the session entity key — per-entity event streams, bounded by contract (same shape as q_sessionize_batch)",
+    "q_dup_spans" ->
+      "span merge: lag/cumsum keyed by doc_id — per-document marked positions, bounded by doc length (the gram-dup test itself is a capped groupBy, not a window)",
+    "q_strip_spans" ->
+      "span merge inside duplicatedNgramSpans (per-doc lag/cumsum, doc-length-bounded); the strip is HOF column exprs, no further window",
+    "q_fuzz_71" ->
+      "span-fuzz: per-doc lag/cumsum span merge, doc-length-bounded (same shape as q_dup_spans)"
   )
 
   test("plan audit: no gate windows outside the audited whitelist") {
