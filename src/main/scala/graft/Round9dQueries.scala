@@ -91,6 +91,33 @@ object Round9dQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // bucketed co-located join: both sides pre-shuffled at write time
+    // into 8 buckets on the join key, so the join AND the groupBy on
+    // that key plan with zero Exchange (asserted in BucketingSpec; the
+    // oracle only pins values — plain join + aggregate)
+    "q_bucket_join" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
+      Bucketing.saveBucketed(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_custkey") < 500),
+        "graft_b_orders", s"$tmp/o", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      Bucketing.saveBucketed(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .filter(col("l_quantity") >= 30),
+        "graft_b_lineitem", s"$tmp/l", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      Bucketing.table(s, "graft_b_orders")
+        .join(Bucketing.table(s, "graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          max("o_totalprice").as("o_total"))
+        .orderBy("o_orderkey")
+    }),
+
     // strip the duplicated spans: covered tokens drop, survivors re-join
     // with single spaces (token-normalized on both sides). n=5 marks a
     // wider set than q_dup_spans' n=8, so the two gates pin different
@@ -167,6 +194,17 @@ object Round9dQueries {
          SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
                 CAST(count(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_bucket_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_custkey < 500),
+          l AS (SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+                WHERE l_quantity >= 30)
+         SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                round(sum(l_quantity), 2) AS sum_qty,
+                max(o_totalprice) AS o_total
+         FROM o JOIN l ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_strip_spans" ->
       """WITH t AS (SELECT doc_id, text,
