@@ -72,7 +72,18 @@ class Round9Spec extends SparkTestBase {
     ("q_zorder_value", None,
       Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
     ("q_hll_distinct_union", None,
-      Set("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"))
+      Set("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey")),
+    // round-9d sketch/shard/span gates: 4 of orders' 9 cols for the
+    // theta rollup; the kll mod-filter is not scan-translatable but its
+    // projection prunes to 4 of lineitem's 16; shards derive from the
+    // single id column; span gates read exactly (doc_id, text)
+    ("q_theta_overlap", None,
+      Set("o_orderdate", "o_custkey", "o_orderpriority", "o_orderstatus")),
+    ("q_kll_quantiles", None,
+      Set("l_returnflag", "l_shipdate", "l_extendedprice", "l_orderkey")),
+    ("q_shard_assign", None, Set("o_orderkey")),
+    ("q_dup_spans", None, Set("doc_id", "text")),
+    ("q_strip_spans", None, Set("doc_id", "text"))
   )
 
   test("plan audit: filter pushdown + column pruning reach the parquet scan") {
