@@ -91,6 +91,20 @@ object Round9dQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    // key u^(1/w), top-n by key. The portable variant pins power-of-two
+    // weights so the key is a sqrt ladder over the md5 fraction — both
+    // correctly-rounded IEEE ops, so the SELECTED SET is bit-identical
+    // in DuckDB (a pow()-computed key is ulp-hazardous cross-engine)
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        pow(lit(2.0), pmod(col("doc_id"), lit(3)).cast("double"))
+          .cast("long").as("w"))
+      graft.core.Sampling.weightedSampleNPortable(d, 60, col("w"),
+          Seq("doc_id"), seedStr = "9")
+        .orderBy("doc_id")
+    }),
+
     // bucketed co-located join: both sides pre-shuffled at write time
     // into 8 buckets on the join key, so the join AND the groupBy on
     // that key plan with zero Exchange (asserted in BucketingSpec; the
@@ -194,6 +208,19 @@ object Round9dQueries {
          SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
                 CAST(count(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+               CAST(pow(2, doc_id % 3) AS BIGINT) AS w FROM documents),
+          r AS (SELECT doc_id, lang, w,
+                  (('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '9'),
+                    1, 8))::BIGINT / 4294967296.0) AS u FROM s),
+          k AS (SELECT doc_id, lang, w,
+                  CASE WHEN w = 1 THEN u WHEN w = 2 THEN sqrt(u)
+                       ELSE sqrt(sqrt(u)) END AS rnk FROM r),
+          top AS (SELECT doc_id, lang, w FROM k
+                  ORDER BY rnk DESC, doc_id LIMIT 60)
+         SELECT doc_id, lang, w FROM top ORDER BY doc_id""",
 
     "q_bucket_join" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders

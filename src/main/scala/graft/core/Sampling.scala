@@ -445,4 +445,66 @@ object Sampling {
                                      seedStr: String = "0"): DataFrame =
     capRowsPerClass(df, classCol, n,
       md5(portableKeyMaterial(df.columns.map(col).toSeq, seedStr)))
+
+  // ===== weighted sampling without replacement (A-ES) =====
+  // Efraimidis & Spirakis 2006: give each row the key u^(1/w) for a
+  // per-row uniform u in (0,1); the n LARGEST keys are an exact weighted
+  // sample without replacement (inclusion intuition: a heavier w pulls
+  // the key toward 1). The training-pipeline use is "keep n documents,
+  // quality-weighted". One global bounded top-n
+  // (TakeOrderedAndProject: per-partition heaps + driver merge of n),
+  // no shuffle of the data itself; u derives from a seeded hash, so the
+  // sample is deterministic and re-runnable.
+
+  /** The 32-bit md5 fraction in [0, 1): exact in both engines — the
+    * integer is < 2^32 and the division is by a power of two. */
+  private def md5Fraction(keys: Seq[Column], seedStr: String): Column =
+    conv(substring(md5(portableKeyMaterial(keys, seedStr)), 1, 8), 16, 10)
+      .cast(DoubleType) / lit(4294967296.0)
+
+  /** Exactly-n weighted sample without replacement. Rows with a null,
+    * zero, or negative weight are excluded (A-ES is defined for w > 0).
+    * `pow` is engine-dependent in its last ulp — use
+    * [[weightedSampleNPortable]] when a SQL-oracle-exact variant is
+    * needed. */
+  def weightedSampleN(df: DataFrame, n: Int, weight: Column,
+                      keyCols: Seq[String], seedStr: String = "0"): DataFrame = {
+    require(n >= 0, s"n must be >= 0: $n")
+    val u = md5Fraction(keyCols.map(col), seedStr)
+    val key = pow(u, lit(1.0) / weight.cast(DoubleType))
+    df.filter(weight.isNotNull && weight.cast(DoubleType) > 0)
+      .withColumn("__aes__", key)
+      .orderBy(col("__aes__").desc, struct(keyCols.map(col): _*))
+      .limit(n)
+      .drop("__aes__")
+  }
+
+  /**
+   * Cross-engine-exact variant for POWER-OF-TWO weights: u^(1/2^k) is k
+   * applications of sqrt, and IEEE sqrt is correctly rounded in every
+   * engine — so the selected set reproduces bit-for-bit in the DuckDB
+   * oracle, unlike a `pow`-computed key. Weights outside
+   * {1, 2, 4, ..., 2^maxLog2} raise at runtime (silent fallback would
+   * quietly change the distribution).
+   */
+  def weightedSampleNPortable(df: DataFrame, n: Int, weight: Column,
+                              keyCols: Seq[String], seedStr: String = "0",
+                              maxLog2: Int = 8): DataFrame = {
+    require(n >= 0, s"n must be >= 0: $n")
+    require(maxLog2 >= 0 && maxLog2 <= 30, s"maxLog2 out of range: $maxLog2")
+    val u = md5Fraction(keyCols.map(col), seedStr)
+    val w = weight.cast(LongType)
+    val key = (0 to maxLog2).foldLeft(
+      when(lit(false), lit(0.0))) { (acc, k) =>
+        acc.when(w === (1L << k),
+          (0 until k).foldLeft(u)((e, _) => sqrt(e)))
+      }.otherwise(raise_error(concat(
+        lit(s"weightedSampleNPortable: weight must be a power of two <= ${1L << maxLog2}, got "),
+        w.cast(StringType))))
+    df.filter(weight.isNotNull)
+      .withColumn("__aes__", key)
+      .orderBy(col("__aes__").desc, struct(keyCols.map(col): _*))
+      .limit(n)
+      .drop("__aes__")
+  }
 }

@@ -389,4 +389,56 @@ class Round3Spec extends SparkTestBase {
     val recall = fourTables.size.toDouble / truth.size
     assert(recall >= 0.7, s"4-table recall $recall")
   }
+
+  test("weightedSampleN (A-ES): exact n, deterministic, seed-sensitive, weight-monotone") {
+    val df = (0 until 200).map(i => (i.toLong, if (i < 100) 8.0 else 1.0))
+      .toDF("id", "w")
+    val a = Sampling.weightedSampleN(df, 20, col("w"), Seq("id"), "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedSampleN(df, 20, col("w"), Seq("id"), "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.length === 20)
+    assert(a !== Sampling.weightedSampleN(df, 20, col("w"), Seq("id"), "s2")
+      .select("id").as[Long].collect().sorted.toSeq)
+    // inclusion is weight-monotone: over 30 seeds, the weight-8 half is
+    // picked far more often than the weight-1 half (E[heavy] ~ 17/20)
+    val heavyCounts = (0 until 30).map { s =>
+      Sampling.weightedSampleN(df, 20, col("w"), Seq("id"), s"seed$s")
+        .select("id").as[Long].collect().count(_ < 100)
+    }
+    val mean = heavyCounts.sum.toDouble / heavyCounts.length
+    assert(mean > 14.0 && mean <= 20.0, s"mean heavy picks $mean")
+  }
+
+  test("weightedSampleN excludes null/zero/negative weights; portable raises on non-power-of-two") {
+    val df = Seq((1L, java.lang.Double.valueOf(2.0)),
+      (2L, java.lang.Double.valueOf(0.0)), (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, java.lang.Double.valueOf(-1.0)), (5L, java.lang.Double.valueOf(1.0)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSampleN(df, 10, col("w"), Seq("id"), "0")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 5L))
+    val bad = Seq((1L, 3L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSampleNPortable(bad, 1, col("w"), Seq("id"), "0").collect()
+    }
+    assert(e.getMessage.contains("power of two") ||
+      String.valueOf(e.getCause).contains("power of two"))
+  }
+
+  test("weightedSampleNPortable: all-equal weights reduce to the md5 bottom-k order") {
+    val df = (0 until 300).map(i => (i.toLong, 4L)).toDF("id", "w")
+    val got = Sampling.weightedSampleNPortable(df, 25, col("w"), Seq("id"), "7")
+      .select("id").as[Long].collect().sorted.toSeq
+    // equal weights: u^(1/4) is monotone in u, so top-25 by key is
+    // top-25 by the raw md5 fraction — recompute driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Long = {
+      val hex = md.digest(s"$id\u00017".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = (0L until 300L).sortBy(i => (-u(i), i)).take(25).sorted.toSeq
+    assert(got === expected)
+  }
 }
