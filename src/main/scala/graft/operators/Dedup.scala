@@ -506,12 +506,19 @@ object Dedup {
     // docs shorter than n tokens contribute no n-grams (slice-pad grams
     // from a short tail would double-count; the reference shingler's
     // whole-doc fallback is a DIFFERENT op - minhash wants >=1 shingle)
+    // persisted: BOTH consumers below (the dup-gram aggregate and the
+    // join back) need this frame — without the persist each one re-scans
+    // the raw corpus and re-hashes every gram. The (id, pos, 16-byte
+    // hash) frame is far smaller than the text it derives from, so at
+    // corpus scale MEMORY_AND_DISK is strictly cheaper than the second
+    // full text scan.
     val grams = df
       .filter(length(col(textCol)) > 0 && size(toks) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // capped two-distinct-docs test: min/max doc per gram differ <=>
     // >= 2 docs share it; constant state per gram partial, skew-proof
     val dup = grams.groupBy("g")
