@@ -18,11 +18,16 @@ class Round9Spec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   // AQE wraps the physical plan in AdaptiveSparkPlanExec, whose collect
-  // does not descend into the wrapped plan — unwrap every adaptive layer
+  // does not descend into the wrapped plan — unwrap every adaptive
+  // layer. A persist() similarly hides its child scan inside an
+  // InMemoryRelation (q_dup_spans' gram frame); descend into the cached
+  // plan so the pushdown/pruning assertions still see the parquet read.
   private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
     def walk(p: SparkPlan): Seq[FileSourceScanExec] =
       p.collect {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(m.relation.cachedPlan)
         case f: FileSourceScanExec    => Seq(f)
       }.flatten
     walk(df.queryExecution.executedPlan)
