@@ -1198,7 +1198,130 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated RANGE-JOIN pipelines (q_fuzz_72..75) =====
+  // The cell-bucketed range joins under seeded filters AND seeded bucket
+  // widths — the width must never change the result (the law
+  // RangeJoinSpec proves on synthetic data, here pinned against DuckDB
+  // on the fixture). Fixed selectivity caps (the hand gates' bounds)
+  // keep the pair space sane at sf1; seeded filters vary WITHIN them.
+
+  private case class RangeCase(name: String, overlap: Boolean,
+                               pfs: Seq[Filter], ifs: Seq[Filter],
+                               width: Long, flagA: String, flagB: String)
+
+  // key-column filters are banned here: a seeded o_custkey bound can
+  // contradict the family's fixed o_custkey < 300 cap (first draw
+  // produced `> 700 AND < 300` = an always-empty gate), and l_orderkey
+  // thresholds are SF-dependent (empty below sf0.1). Redraw until the
+  // filter lands on a value column.
+  private def genFilterAvoiding(rnd: scala.util.Random, t: Table,
+                                banned: Set[String]): Filter = {
+    var f = genFilter(rnd, t)
+    var tries = 0
+    while (banned.exists(c => f.sql.startsWith(c + " ")) && tries < 50) {
+      f = genFilter(rnd, t); tries += 1
+    }
+    f
+  }
+
+  private val rangePipelines: Seq[RangeCase] = {
+    val rnd = new scala.util.Random(727272L)
+    val flags = Seq("A", "N", "R")
+    (0 until 4).map { i =>
+      val overlap = i % 2 == 1
+      val Seq(fa, fb) = rnd.shuffle(flags).take(2)
+      // overlap cases additionally ban the flag/status columns: the case
+      // itself splits sides by l_returnflag, and l_linestatus correlates
+      // with it in TPC-H (R/A lines are almost all status F) — a seeded
+      // status filter zeroed both overlap draws
+      val ifBan: Set[String] =
+        if (overlap) Set("l_orderkey", "l_returnflag", "l_linestatus")
+        else Set("l_orderkey")
+      RangeCase(f"q_fuzz_${72 + i}%02d", overlap,
+        pfs = Seq.fill(1 + rnd.nextInt(2))(
+          genFilterAvoiding(rnd, tables.head, Set("o_custkey", "o_orderkey"))),
+        ifs = Seq(genFilterAvoiding(rnd, tables(1), ifBan)),
+        width = Seq(16L, 32L, 64L, 128L)(rnd.nextInt(4)),
+        flagA = fa, flagB = fb)
+    }
+  }
+
+  private def rangeQuery(c: RangeCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    def dayOf(cc: org.apache.spark.sql.Column) =
+      datediff(to_date(cc), to_date(lit("1992-01-01"))).cast("long")
+    def li = c.ifs.foldLeft(XDF(s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_partkey")))(
+        (x, f) => f.fn(x)).toDF
+    if (!c.overlap) {
+      val points = c.pfs.foldLeft(XDF(s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+          "o_orderstatus", "o_orderdate")))((x, f) => f.fn(x)).toDF
+        .filter(col("o_custkey") < 300)
+        .select(col("o_orderkey"), dayOf(col("o_orderdate")).as("p_day"))
+      val ivs = li.filter(col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dayOf(col("l_shipdate")).as("s_day"),
+          (dayOf(col("l_shipdate")) + floor(col("l_quantity")).cast("long"))
+            .as("e_day"))
+      RangeJoin.pointInInterval(points, "p_day", ivs, "s_day", "e_day",
+          bucketWidth = c.width)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_hits"), min("l_orderkey").as("min_lok"),
+          max("e_day").as("max_e"))
+        .orderBy("o_orderkey")
+    } else {
+      def side(flag: String, p: String): DataFrame =
+        li.filter(col("l_returnflag") === flag && col("l_partkey") < 500)
+          .select(col("l_orderkey").as(s"${p}_ok"),
+            col("l_linenumber").as(s"${p}_ln"),
+            dayOf(col("l_shipdate")).as(s"${p}_s"),
+            (dayOf(col("l_shipdate")) + floor(col("l_quantity")).cast("long"))
+              .as(s"${p}_e"))
+      RangeJoin.intervalOverlap(side(c.flagA, "a"), "a_s", "a_e",
+          side(c.flagB, "b"), "b_s", "b_e", bucketWidth = c.width)
+        .groupBy("a_ok", "a_ln")
+        .agg(count(lit(1)).as("n_overlap"), min("b_ok").as("min_bok"))
+        .orderBy("a_ok", "a_ln")
+    }
+  }
+
+  private def rangeOracle(c: RangeCase): String = {
+    val iw = c.ifs.map(_.sql).mkString(" AND ")
+    if (!c.overlap) {
+      val pw = c.pfs.map(_.sql).mkString(" AND ")
+      s"""WITH p AS (SELECT o_orderkey,
+               date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS p_day
+             FROM orders WHERE $pw AND o_custkey < 300),
+          iv AS (SELECT l_orderkey, l_linenumber,
+               date_diff('day', DATE '1992-01-01', l_shipdate::DATE) AS s_day,
+               date_diff('day', DATE '1992-01-01', l_shipdate::DATE)
+                 + CAST(floor(l_quantity) AS BIGINT) AS e_day
+             FROM lineitem WHERE $iw AND l_partkey < 2000)
+         SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_hits,
+                min(l_orderkey) AS min_lok, max(e_day) AS max_e
+         FROM p JOIN iv ON p_day BETWEEN s_day AND e_day
+         GROUP BY o_orderkey ORDER BY o_orderkey"""
+    } else {
+      def side(flag: String, p: String) =
+        s"""SELECT l_orderkey AS ${p}_ok, l_linenumber AS ${p}_ln,
+               date_diff('day', DATE '1992-01-01', l_shipdate::DATE) AS ${p}_s,
+               date_diff('day', DATE '1992-01-01', l_shipdate::DATE)
+                 + CAST(floor(l_quantity) AS BIGINT) AS ${p}_e
+             FROM lineitem
+             WHERE $iw AND l_returnflag = '$flag' AND l_partkey < 500"""
+      s"""WITH a AS (${side(c.flagA, "a")}), b AS (${side(c.flagB, "b")})
+         SELECT a_ok, a_ln, CAST(count(*) AS BIGINT) AS n_overlap,
+                min(b_ok) AS min_bok
+         FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+         GROUP BY a_ok, a_ln ORDER BY a_ok, a_ln"""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rangePipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => rangeQuery(c)(s, dir))).toMap ++
     sketchPipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => sketchQuery(c)(s, dir))).toMap ++
     sessPipelines.map(c => c.name ->
@@ -1268,6 +1391,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    rangePipelines.map(c => c.name -> rangeOracle(c)).toMap ++
     sketchPipelines.map(c => c.name -> sketchOracle(c)).toMap ++
     sessPipelines.map(c => c.name -> sessOracle(c)).toMap ++
     asofPipelines.map(c => c.name -> asofOracle(c)).toMap ++

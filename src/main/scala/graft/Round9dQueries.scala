@@ -91,6 +91,33 @@ object Round9dQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // streaming x sketches: a REAL Structured Streaming run (file source
+    // -> watermark -> windowed HLL sketch aggregate -> memory sink)
+    // computing approximate-distinct users per hour per event type. The
+    // user domain folds mod 200 (< the 384-coupon exact threshold at
+    // lgK 12), so the streaming estimate equals the batch
+    // count(DISTINCT) oracle exactly — the streaming twin of
+    // q_hll_distinct_union.
+    "q_stream_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
+        col("event_type"), pmod(col("user_id"), lit(200L)).as("ub"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+      ev.write.mode("overwrite").json(tmp)
+      val stream = graft.streaming.StreamOps.readJsonStream(s, tmp,
+        "ts TIMESTAMP, event_type STRING, ub BIGINT")
+      val agged = stream.withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(Sketches.hllSketch(col("ub")).as("sk"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), Sketches.hllEstimate(col("sk")).as("nd_users"))
+      val qn = "q_stream_distinct_sink"
+      val q = agged.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("hour", "event_type")
+    }),
+
     // weighted sample without replacement (Efraimidis-Spirakis A-ES):
     // key u^(1/w), top-n by key. The portable variant pins power-of-two
     // weights so the key is a sqrt ladder over the md5 fraction — both
@@ -208,6 +235,12 @@ object Round9dQueries {
          SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
                 CAST(count(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_stream_distinct" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                event_type,
+                CAST(count(DISTINCT user_id % 200) AS BIGINT) AS nd_users
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
 
     "q_weighted_sample" ->
       """WITH s AS (SELECT doc_id, lang,
