@@ -79,6 +79,47 @@ object ScaleRehearsal {
         keyCols = Seq("doc_id")).count()
     }
 
+    // ---- cross-doc repeated-substring spans on the same 1M-doc corpus:
+    // the 500k boilerplate docs duplicate whole texts across docs (100k
+    // distinct texts x 5), the 500k tails are unique — every boilerplate
+    // position marks, no unique position may
+    run("duplicatedNgramSpans 1M docs") {
+      Dedup.duplicatedNgramSpans(docs, "doc_id", "text", n = 4).count()
+    }
+
+    // ---- mergeable sketches over 10M values, 100-group fine grain +
+    // rollup: partials are sketches, the shuffle carries KBs per group
+    import graft.functions.Sketches
+    val vals = spark.range(10000000L).select(
+      pmod(col("id"), lit(100L)).as("g"),
+      pmod(hash(col("id")), lit(1000000L)).as("v"))
+    run("theta sketch+rollup 10M vals") {
+      vals.groupBy("g").agg(Sketches.thetaSketch(col("v")).as("sk"))
+        .agg(Sketches.thetaEstimate(Sketches.thetaUnion(col("sk"))))
+        .head(); 10000000L
+    }
+    run("kll sketch+rollup 10M vals") {
+      vals.groupBy("g")
+        .agg(Sketches.kllSketch(col("v").cast("double"), 200).as("sk"))
+        .agg(Sketches.kllQuantile(Sketches.kllMerge(col("sk"), 200), 0.5))
+        .head(); 10000000L
+    }
+
+    // ---- deterministic shard layout: 1M rows -> 64 shards, one
+    // hash-partition exchange + partition-local sorts
+    run("shardRepartition 1M/64") {
+      graft.operators.Layout.shardRepartition(sourced, Seq("doc_id"), 64)
+        .count()
+    }
+
+    // ---- weighted sample: 1M rows, top-10k by A-ES key — bounded
+    // top-n, zero data shuffle (PLAN_AUDIT: exchanges=0 for the gate)
+    run("weightedSampleN 1M -> 10k") {
+      Sampling.weightedSampleN(sourced, 10000,
+        pmod(col("doc_id"), lit(7L)).cast("double") + lit(1.0),
+        Seq("doc_id")).count()
+    }
+
     spark.stop()
   }
 }
