@@ -135,11 +135,23 @@ def check_keyhash(got):
     return None
 
 
+def bounded_long(rng, bound):
+    """Replicates Sampling.sampleNWithReplacement's rejection-sampled
+    uniform draw: non-negative 63-bit value, rejected beyond the largest
+    exact multiple of `bound` (removes the modulo bias)."""
+    m63 = (1 << 63) - 1  # Long.MaxValue
+    mx = (m63 // bound) * bound
+    while True:
+        v = rng.next_long() & m63
+        if v < mx:
+            return v % bound
+
+
 def check_sample_n_replace(got):
     import pyarrow.parquet as papq
     keys = papq.read_table(f"{sf_dir}/orders.parquet").column("o_orderkey").to_pylist()
     rng = JavaRandom(7)
-    draws = [rng.next_long() % len(keys) for _ in range(100)]  # python % == floorMod
+    draws = [bounded_long(rng, len(keys)) for _ in range(100)]
     exp = sorted(keys[i] for i in draws)
     act = sorted(got["o_orderkey"].astype(int))
     if act != exp:

@@ -40,7 +40,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
             -1L
         }
-        graft.core.JsonFlattener.releaseInferredCaches()
+        graft.core.Caches.release()
         name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
       }
     // best of N passes (default 3): the first pass absorbs page-cache/JIT

@@ -66,9 +66,16 @@ object FuzzQueries {
   /** One generated step: the XDF transform and its SQL WHERE clause. */
   private case class Filter(fn: XDF => XDF, sql: String)
 
-  private def genFilter(rnd: scala.util.Random, t: Table): Filter = {
+  private def genFilter(rnd: scala.util.Random, t: Table,
+                        banned: Set[String] = Set.empty): Filter = {
     def q(s: String) = s.replace("'", "''")
-    val c = t.cols(rnd.nextInt(t.cols.length))
+    // `banned` excludes columns whose value is determined by another
+    // column of the same table (nation: one region per name), where a
+    // drawn conjunction can be empty at EVERY scale factor — a vacuous
+    // gate proves only that both engines return nothing. Same rule as
+    // the range-join family's key/correlated-column ban.
+    val cands = t.cols.filterNot(c => banned.contains(c.name))
+    val c = cands(rnd.nextInt(cands.length))
     c.kind match {
       case "str" =>
         val pool = t.strPool(c.name)
@@ -467,7 +474,17 @@ object FuzzQueries {
         case 1 => Seq(tables(0), tables(2), nationTable)(rnd.nextInt(3))
         case _ => reshapeTables(rnd.nextInt(reshapeTables.length))
       }
-      val filters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, t))
+      // Two vacuity hazards, both found in round 9's artifacts: (a)
+      // nation's n_name determines n_regionkey, so a name-equality +
+      // region-range conjunction can be empty at every SF (q_fuzz_43:
+      // NATION_3 AND n_regionkey > 3 selects nothing anywhere); (b) the
+      // unique-id ordering column's RANGE scales with SF, so a fixed
+      // threshold from the pool can be empty below some SF (q_fuzz_37:
+      // o_orderkey > 30000 is empty at sf0.001/sf0.01). Ban both kinds
+      // from this family's draws — the id is the ORDER BY column, and
+      // filtering the running order's own key adds no coverage anyway.
+      val banned = Set("n_name") ++ uniqueIds.get(t.name)
+      val filters = Seq.fill(rnd.nextInt(3))(genFilter(rnd, t, banned))
       val idCol = uniqueIds.getOrElse(t.name, "")
       val nums = t.cols.filter(_.kind != "str").map(_.name)
       val vCol = nums(rnd.nextInt(nums.length))

@@ -32,6 +32,22 @@ object Round9dQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM suffix for q_bucket_join's bucketed tables/paths — computed
+    * once, directory deleted on JVM exit (catalog entries are in-memory
+    * and die with the session anyway). */
+  private lazy val bucketRunId: String =
+    java.util.UUID.randomUUID.toString.take(8)
+  private lazy val bucketRunDir: String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_bucketed_$bucketRunId")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Exception => }
+    }))
+    d.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_theta_overlap" -> ((s, dir) => {
@@ -102,9 +118,9 @@ object Round9dQueries {
       val ev = t(s, dir, "events").select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
         col("event_type"), pmod(col("user_id"), lit(200L)).as("ub"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi").toString
-      ev.write.mode("overwrite").json(tmp)
-      val stream = graft.streaming.StreamOps.readJsonStream(s, tmp,
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi")
+      ev.write.mode("overwrite").json(tmp.toString)
+      val stream = graft.streaming.StreamOps.readJsonStream(s, tmp.toString,
         "ts TIMESTAMP, event_type STRING, ub BIGINT")
       val agged = stream.withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -114,7 +130,16 @@ object Round9dQueries {
       val qn = "q_stream_distinct_sink"
       val q = agged.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // the staged JSON exists only to feed the file source; once the
+      // stream has drained into the memory sink the files are dead — a
+      // fresh temp dir per invocation would otherwise accumulate a full
+      // events copy per run
+      try q.processAllAvailable() finally {
+        q.stop()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       s.table(qn).orderBy("hour", "event_type")
     }),
 
@@ -138,19 +163,26 @@ object Round9dQueries {
     // oracle only pins values — plain join + aggregate)
     "q_bucket_join" -> ((s, dir) => {
       import graft.sources.Bucketing
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
+      // per-process-unique path + table names: a fixed shared path would
+      // let concurrent sessions clobber each other's buckets mid-read,
+      // and a fresh name per INVOCATION would accumulate a table copy per
+      // bench pass — one suffix per JVM (cleaned on exit) gives
+      // overwrite-in-place within a run and isolation across runs
+      val tmp = bucketRunDir
       Bucketing.saveBucketed(
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .filter(col("o_custkey") < 500),
-        "graft_b_orders", s"$tmp/o", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        s"graft_b_orders_$bucketRunId", s"$tmp/o", Seq("o_orderkey"), 8,
+        Seq("o_orderkey"))
       Bucketing.saveBucketed(
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice")
           .filter(col("l_quantity") >= 30),
-        "graft_b_lineitem", s"$tmp/l", Seq("l_orderkey"), 8, Seq("l_orderkey"))
-      Bucketing.table(s, "graft_b_orders")
-        .join(Bucketing.table(s, "graft_b_lineitem"),
+        s"graft_b_lineitem_$bucketRunId", s"$tmp/l", Seq("l_orderkey"), 8,
+        Seq("l_orderkey"))
+      Bucketing.table(s, s"graft_b_orders_$bucketRunId")
+        .join(Bucketing.table(s, s"graft_b_lineitem_$bucketRunId"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"),

@@ -33,7 +33,7 @@ object Verify {
       }
       // schema-inference caches are per-query scratch; freeing them here
       // keeps one query's MEMORY_AND_DISK residue from outliving it
-      graft.core.JsonFlattener.releaseInferredCaches()
+      graft.core.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

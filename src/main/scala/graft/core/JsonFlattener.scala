@@ -26,22 +26,12 @@ import org.apache.spark.sql.types._
  */
 object JsonFlattener {
 
-  // Inputs persisted for schema inference (see explodeJson). The persist
-  // is a pure cache — releasing it early only re-derives from lineage,
-  // never corrupts — so callers (and Verify's per-query loop) free it
-  // deterministically once the flatten has executed instead of pinning
-  // MEMORY_AND_DISK blocks for the session.
-  private val inferredCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist every input cached for schema inference since the last
-    * call. Safe at any time (cache-only, lineage recomputes); call after
-    * the flattened result's first action for the intended single-scan +
-    * bounded-residue behavior. */
-  def releaseInferredCaches(): Unit = {
-    var d = inferredCaches.poll()
-    while (d != null) { d.unpersist(false); d = inferredCaches.poll() }
-  }
+  // Inputs persisted for schema inference (see explodeJson) register in
+  // the shared graft.core.Caches tracker — a pure cache, released by the
+  // caller after the consuming action (Bench/Verify do per query).
+  /** Unpersist every operator-tracked cache since the last call — kept as
+    * the historical entry point; delegates to [[Caches.release]]. */
+  def releaseInferredCaches(): Unit = Caches.release()
 
   /** Infer the schema of a JSON string column. `sampleRows` bounds the
     * inference scan (homogeneous payloads need only a few rows; a full
@@ -91,7 +81,8 @@ object JsonFlattener {
                   singleValueListCols: Seq[String] = Nil,
                   maxResults: Int = -1,
                   transposeColGroups: Seq[String] = Nil,
-                  schema: StructType = null): DataFrame = {
+                  schema: StructType = null,
+                  maxTransposeKeys: Int = 10000): DataFrame = {
     // When inferring, persist the input first: inference is an ACTION on
     // the upstream plan, and without the persist a computed input (e.g. a
     // full aggregation) executes twice — once for inference, once for the
@@ -105,8 +96,8 @@ object JsonFlattener {
       Log.warnOnce("explode_json: schema inferred from a bounded sample; " +
         "keys first appearing beyond it will be absent — pass schema= or " +
         "inferSchema(sampleRows = 0) for heterogeneous payloads")
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      inferredCaches.add(cached)
+      val cached = Caches.track(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       (cached, inferSchema(cached, jsonCol))
     }
     val keep = (f: StructField) =>
@@ -137,9 +128,23 @@ object JsonFlattener {
       })
     }
     val transposeCols: Seq[(String, Column)] = transposed.flatMap { case (p, pfx, _) =>
-      val keyRows = parsed.select(explode(p).as("__e__"))
-        .select(col("__e__.key").cast(StringType)).limit(10000)
-        .distinct().collect().map(_.getString(0)).filter(_ != null).sorted
+      // keys are data, so the discovery must be bounded BEFORE it becomes
+      // a column layout: distinct first (a bounded scan of entries would
+      // silently lose late-appearing keys — the round-9 defect), then
+      // over-fetch by one so "at the cap" and "beyond it" are
+      // distinguishable, and fail loudly naming the escape hatches.
+      val discovered = parsed.select(explode(p).as("__e__"))
+        .select(col("__e__.key").cast(StringType).as("__k__"))
+        .filter(col("__k__").isNotNull)
+        .distinct().limit(maxTransposeKeys + 1).collect().map(_.getString(0))
+      if (discovered.length > maxTransposeKeys)
+        throw new IllegalStateException(
+          s"explode_json: transpose_col_groups '$pfx' has more than " +
+            s"$maxTransposeKeys distinct keys — a per-key column layout " +
+            "is not viable for this payload. Drop the group from " +
+            "transposeColGroups (it stays an array column), or raise " +
+            "maxTransposeKeys deliberately.")
+      val keyRows = discovered.sorted
       // first-wins per key via filter (map_from_entries would throw on
       // duplicate or null keys under the default dedup policy)
       keyRows.toSeq.map { k =>

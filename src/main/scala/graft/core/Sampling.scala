@@ -53,7 +53,18 @@ object Sampling {
     val cnt = df.count()
     if (cnt == 0) return df
     val rng = new scala.util.Random(seed)
-    val draws = Seq.fill(n)(math.floorMod(rng.nextLong(), cnt))
+    // uniform bounded draw via rejection sampling — floorMod(nextLong, cnt)
+    // carries a (tiny, but avoidable) modulo bias toward the low residues
+    // whenever cnt doesn't divide 2^64; reject draws beyond the largest
+    // exact multiple of cnt instead. Explicit (not JDK nextLong(bound)) so
+    // the oracle replica in scripts/check_oracle.py stays a 5-liner.
+    def boundedLong(): Long = {
+      val max = (Long.MaxValue / cnt) * cnt
+      var v = rng.nextLong() & Long.MaxValue // uniform non-negative 63-bit
+      while (v >= max) v = rng.nextLong() & Long.MaxValue
+      v % cnt
+    }
+    val draws = Seq.fill(n)(boundedLong())
     val copies = draws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
     import spark.implicits._
     val picks = broadcast(copies.toDF("__idx__", "__copies__"))

@@ -377,10 +377,15 @@ object Dedup {
     require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     val spark = corpus.sparkSession
-    val evalGrams = evalDocs.select(explode(array_distinct(
-        TextOps.wordShingles(col(evalTextCol), n))).as("__gram__"))
-      .distinct()
-      .persist() // read twice: bloom build + confirm join
+    // read twice (bloom build + confirm join) so persisted; tracked in
+    // graft.core.Caches — a pure cache the caller releases after the
+    // consuming action (Caches.release()), so repeated calls in a
+    // long-lived session don't accumulate pinned blocks
+    val evalGrams = graft.core.Caches.track(
+      evalDocs.select(explode(array_distinct(
+          TextOps.wordShingles(col(evalTextCol), n))).as("__gram__"))
+        .distinct()
+        .persist())
     val bf = buildGramBloom(evalGrams, "__gram__",
       expectedItems = evalGrams.count(), fpp = fpp)
     val bloomBc = spark.sparkContext.broadcast(bf)
@@ -511,14 +516,16 @@ object Dedup {
     // the raw corpus and re-hashes every gram. The (id, pos, 16-byte
     // hash) frame is far smaller than the text it derives from, so at
     // corpus scale MEMORY_AND_DISK is strictly cheaper than the second
-    // full text scan.
-    val grams = df
+    // full text scan. Tracked in graft.core.Caches: a pure cache the
+    // caller releases after the consuming action (Caches.release()), so
+    // repeated calls in a long-lived session don't pin blocks forever.
+    val grams = graft.core.Caches.track(df
       .filter(length(col(textCol)) > 0 && size(toks) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // capped two-distinct-docs test: min/max doc per gram differ <=>
     // >= 2 docs share it; constant state per gram partial, skew-proof
     val dup = grams.groupBy("g")

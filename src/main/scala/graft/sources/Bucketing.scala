@@ -31,8 +31,14 @@ object Bucketing {
                    sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    // the name lands inside a SQL statement: reject anything a backtick
+    // quote can't make safe, then quote — an interpolated raw name with
+    // special characters would break the DROP or execute unintended SQL
+    require(table.matches("[A-Za-z0-9_.]+") && !table.contains(".."),
+      s"table name must be [A-Za-z0-9_.]+: '$table'")
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
     // a previous table at a DIFFERENT path must not shadow the new data
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $quoted")
     val w = df.write.mode("overwrite").format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
