@@ -66,6 +66,14 @@ object FuzzQueries {
   /** One generated step: the XDF transform and its SQL WHERE clause. */
   private case class Filter(fn: XDF => XDF, sql: String)
 
+  /** Columns whose value RANGE scales with the fixture's scale factor
+    * (dense ids from 1): a pool threshold that is mid-range at sf0.1 can
+    * exceed the whole domain at sf0.001/sf0.01. genFilter never emits a
+    * lower bound on these. */
+  private val sfScalingKeys =
+    Set("o_orderkey", "o_custkey", "l_orderkey", "c_custkey",
+      "event_id", "user_id")
+
   private def genFilter(rnd: scala.util.Random, t: Table,
                         banned: Set[String] = Set.empty): Filter = {
     def q(s: String) = s.replace("'", "''")
@@ -98,6 +106,14 @@ object FuzzQueries {
         val pool = t.numPool(c.name)
         val v = pool(rnd.nextInt(pool.length))
         rnd.nextInt(3) match {
+          // key-domain columns grow with the scale factor, so a fixed
+          // LOWER bound from the pool can exceed the smallest fixture's
+          // whole range and select nothing (q_fuzz_18: l_orderkey > 20000
+          // was empty at sf0.001/sf0.01 — the oracle compared
+          // empty-to-empty). An UPPER bound on a dense-from-1 key is
+          // non-empty at every SF, so `gt` degrades to `le` there.
+          case 0 if sfScalingKeys(c.name) =>
+            Filter(_.leInt(c.name, v), s"${c.name} <= $v")
           case 0 => Filter(_.gtInt(c.name, v), s"${c.name} > $v")
           case 1 => Filter(_.leInt(c.name, v), s"${c.name} <= $v")
           case _ => Filter(_.notEqInt(c.name, v), s"${c.name} <> $v")

@@ -67,7 +67,7 @@ object ParityQueries {
 
     // ===== TSV round-trip (URL-encoded cells) =====
     "q_tsv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+      val out = graft.core.TempDirs.scratch("graft_tsv")
       TsvIO.write(t(s, dir, "nation"), out)
       TsvIO.read(s, out).orderBy(col("n_nationkey").cast(LongType))
     }),
@@ -136,7 +136,7 @@ object ParityQueries {
 
     // ===== date-partitioned write + pruned scan =====
     "q_etl_scan" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_etl").toString
+      val base = graft.core.TempDirs.scratch("graft_etl")
       TsvIO.writePartitionedByDate(t(s, dir, "events"), "ts", base)
       XDF(TsvIO.scanByDateRange(s, base, "20240102", "20240103"))
         .aggregate(Seq("dt", "event_type"), Seq("value"), Seq("sum"))

@@ -66,7 +66,7 @@ object Round6Queries {
       val ev = t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
           col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_swa").toString
+      val tmp = graft.core.TempDirs.scratch("graft_swa")
       ev.write.mode("overwrite").json(tmp)
       val stream = streaming.StreamOps.readJsonStream(s, tmp,
         "ts TIMESTAMP, event_type STRING, value DOUBLE")
@@ -75,7 +75,11 @@ object Round6Queries {
       val qn = "q_stream_window_agg_sink"
       val q = agged.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // staged JSON only feeds the file source; free it once drained
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
       s.table(qn)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), round(col("value:sum"), 2).as("value:sum"))
@@ -91,7 +95,7 @@ object Round6Queries {
       val ev = t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
           col("event_type"), (col("user_id") % 100).as("user_bucket"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+      val tmp = graft.core.TempDirs.scratch("graft_sdd")
       ev.write.mode("overwrite").json(tmp)
       val stream = streaming.StreamOps.readJsonStream(s, tmp,
         "ts TIMESTAMP, event_type STRING, user_bucket BIGINT")
@@ -101,7 +105,10 @@ object Round6Queries {
       val q = deduped.select("event_type", "user_bucket")
         .writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
       s.table(qn).orderBy("event_type", "user_bucket")
     }),
 

@@ -81,7 +81,7 @@ object Round9Queries {
     // plain-CSV write/read round-trip (reference hydra.py:127-140
     // read_csv): all cells come back string-typed
     "q_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = graft.core.TempDirs.scratch("graft_csv")
       t(s, dir, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").option("header", "true").csv(out)
       graft.sources.TsvIO.readCsv(s, out)
@@ -91,7 +91,7 @@ object Round9Queries {
     // gzip'd URL-encoded TSV round-trip — the reference's `.tsv.gz`
     // on-disk layout; Spark's codec handles decompression at the scan
     "q_tsv_gz_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_tsvgz").toString
+      val out = graft.core.TempDirs.scratch("graft_tsvgz")
       graft.sources.TsvIO.write(t(s, dir, "nation"), out, codec = "gzip")
       graft.sources.TsvIO.read(s, out)
         .orderBy(col("n_nationkey").cast("long"))
@@ -101,7 +101,7 @@ object Round9Queries {
     // hydra.py:325-356); payloads built via to_json so the wire format
     // is deterministic on both engines
     "q_read_json_dir" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_jsond").toString
+      val out = graft.core.TempDirs.scratch("graft_jsond")
       t(s, dir, "nation")
         .select(to_json(struct(col("n_nationkey").cast("long").as("k"))).as("value"))
         .write.mode("overwrite").text(out)

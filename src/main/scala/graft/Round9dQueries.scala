@@ -33,20 +33,13 @@ object Round9dQueries {
     Tables.load(s, dir, name)
 
   /** Per-JVM suffix for q_bucket_join's bucketed tables/paths — computed
-    * once, directory deleted on JVM exit (catalog entries are in-memory
-    * and die with the session anyway). */
+    * once; the directory lives under TempDirs' per-JVM root, deleted on
+    * exit (catalog entries are in-memory and die with the session
+    * anyway). */
   private lazy val bucketRunId: String =
     java.util.UUID.randomUUID.toString.take(8)
-  private lazy val bucketRunDir: String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_bucketed_$bucketRunId")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Exception => }
-    }))
-    d.toString
-  }
+  private lazy val bucketRunDir: String =
+    graft.core.TempDirs.scratch(s"graft_bucketed_$bucketRunId")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -118,7 +111,7 @@ object Round9dQueries {
       val ev = t(s, dir, "events").select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
         col("event_type"), pmod(col("user_id"), lit(200L)).as("ub"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi")
+      val tmp = graft.core.TempDirs.scratchPath("graft_sdi")
       ev.write.mode("overwrite").json(tmp.toString)
       val stream = graft.streaming.StreamOps.readJsonStream(s, tmp.toString,
         "ts TIMESTAMP, event_type STRING, ub BIGINT")
@@ -136,9 +129,7 @@ object Round9dQueries {
       // events copy per run
       try q.processAllAvailable() finally {
         q.stop()
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        graft.core.TempDirs.deleteRecursively(tmp)
       }
       s.table(qn).orderBy("hour", "event_type")
     }),

@@ -222,9 +222,15 @@ object SparkEntry {
           Seq("c_custkey"))
         .select("c_custkey", "c_name").sort(Seq("c_custkey")).toDF),
 
+    // anti-join against the URGENT subset: every customer HAS an order
+    // below sf0.1, so the unfiltered variant compared empty-to-empty at
+    // the driver's gate SF — ~13% of customers lack an urgent order at
+    // every SF, which is an anti-join that can actually fail
     "q_anti_join" -> ((s, dir) =>
       XDF(t(s, dir, "customer"))
-        .antiJoin(XDF(t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")),
+        .antiJoin(XDF(t(s, dir, "orders")
+            .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+            .withColumnRenamed("o_custkey", "c_custkey")),
           Seq("c_custkey"))
         .select("c_custkey", "c_name").sort(Seq("c_custkey")).toDF),
 
@@ -494,7 +500,9 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
 
     "q_multiway_join" ->
       """SELECT s_suppkey, s_name, n_name, r_name

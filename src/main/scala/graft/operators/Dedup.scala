@@ -519,11 +519,19 @@ object Dedup {
     // full text scan. Tracked in graft.core.Caches: a pure cache the
     // caller releases after the consuming action (Caches.release()), so
     // repeated calls in a long-lived session don't pin blocks forever.
+    //
+    // Grams come from the NATIVE one-pass shingle expression, not an
+    // inline slice/concat lambda: a lambda body that embeds the token
+    // split re-evaluates the whole-document regex split PER GRAM (~token
+    // count times per doc) — measured 31.7 s -> 2.5 s for the sf1 gram
+    // build when the round-10 sf1 bench surfaced it. The >= n filter
+    // above guarantees the expression's short-document whole-doc
+    // fallback shingle never fires, so grams match the slice formulation
+    // exactly (multiset-verified at sf1).
     val grams = graft.core.Caches.track(df
       .filter(length(col(textCol)) > 0 && size(toks) >= n)
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .select(col(idCol), posexplode(transform(
+        TextOps.wordShingles(col(textCol), n), s => md5(s))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // capped two-distinct-docs test: min/max doc per gram differ <=>
@@ -566,16 +574,23 @@ object Dedup {
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans__"))
-    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
-    val sp = coalesce(col("__spans__"),
-      array().cast("array<struct<s:int,e:int>>"))
-    val keptIdx = filter(sequence(lit(1), size(toks)),
-      i => !exists(sp, r => i >= r.getField("s") && i <= r.getField("e")))
+    // tokens and the kept-index array are MATERIALIZED columns, not
+    // inline expressions: an expression referenced inside a lambda body
+    // (element_at(toks, i)) or from three output columns would re-run
+    // the whole-document regex split per token / per consumer — the same
+    // per-element re-evaluation the gram build above was fixed for.
     df.join(spans, Seq(idCol), "left")
-      .withColumn(outCol,
-        concat_ws(" ", transform(keptIdx, i => element_at(toks, i))))
-      .withColumn("n_kept", size(keptIdx).cast(LongType))
-      .withColumn("n_removed", (size(toks) - size(keptIdx)).cast(LongType))
-      .drop("__spans__")
+      .withColumn("__toks__", TextOps.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__sp__", coalesce(col("__spans__"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("__kept__", filter(sequence(lit(1), size(col("__toks__"))),
+        i => !exists(col("__sp__"),
+          r => i >= r.getField("s") && i <= r.getField("e"))))
+      .withColumn(outCol, concat_ws(" ",
+        transform(col("__kept__"), i => element_at(col("__toks__"), i))))
+      .withColumn("n_kept", size(col("__kept__")).cast(LongType))
+      .withColumn("n_removed",
+        (size(col("__toks__")) - size(col("__kept__"))).cast(LongType))
+      .drop("__spans__", "__toks__", "__sp__", "__kept__")
   }
 }

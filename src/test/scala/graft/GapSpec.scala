@@ -51,7 +51,7 @@ class GapSpec extends SparkTestBase {
   }
 
   test("zip TSV read decodes entries") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_zip")
+    val dir = graft.core.TempDirs.scratchPath("graft_zip")
     val zipPath = dir.resolve("data.tsv.zip")
     val zos = new java.util.zip.ZipOutputStream(
       java.nio.file.Files.newOutputStream(zipPath))
@@ -93,7 +93,7 @@ class GapSpec extends SparkTestBase {
   }
 
   test("date-partitioned write prunes on scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_etl_spec").toString
+    val dir = graft.core.TempDirs.scratch("graft_etl_spec")
     val df = Seq(("2024-01-01 10:00:00", 1.0), ("2024-01-02 10:00:00", 2.0),
       ("2024-01-05 10:00:00", 4.0)).toDF("ts_s", "v")
       .withColumn("ts", to_timestamp(col("ts_s")))
@@ -112,7 +112,7 @@ class GapSpec extends SparkTestBase {
   }
 
   test("readJsonDir wraps lines in a json column") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val dir = graft.core.TempDirs.scratch("graft_jsonl")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
       "{\"x\":1}\n{\"x\":2}\n")
     val out = TsvIO.readJsonDir(spark, Seq(dir))

@@ -350,7 +350,7 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("TSV round-trip preserves special characters") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_spec").toString
+    val dir = graft.core.TempDirs.scratch("graft_tsv_spec")
     val df = Seq(("1", "a b", "x\ty"), ("2", "c+d", "p%q")).toDF("id", "s1", "s2")
     TsvIO.write(df, dir)
     val back = TsvIO.read(spark, dir).orderBy("id").collect()

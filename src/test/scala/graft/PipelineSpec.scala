@@ -18,7 +18,7 @@ class PipelineSpec extends SparkTestBase {
       ("4.9", "3.0", "1.4", "0.2", "Iris-setosa"),
       ("6.2", "3.4", "5.4", "2.3", "Iris-virginica"),
     ).toDF("sepal_length", "sepal_width", "petal_length", "petal_width", "class")
-    val dir = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val dir = graft.core.TempDirs.scratch("graft_pipeline")
     TsvIO.write(iris, dir)
     val out = XDF(TsvIO.read(spark, dir))
       .eqStr("class", "Iris-setosa")

@@ -79,8 +79,8 @@ class RangeJoinSpec extends SparkTestBase {
 
   test("intervalJoin: streaming result equals the batch twin") {
     import graft.streaming.StreamOps
-    val dirA = java.nio.file.Files.createTempDirectory("graft_ij_a").toString
-    val dirB = java.nio.file.Files.createTempDirectory("graft_ij_b").toString
+    val dirA = graft.core.TempDirs.scratch("graft_ij_a")
+    val dirB = graft.core.TempDirs.scratch("graft_ij_b")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dirA/a.json"),
       """{"a_ts": "2024-01-01T00:00:00", "a_uid": "u1", "a_id": 1}
         |{"a_ts": "2024-01-01T00:30:00", "a_uid": "u1", "a_id": 2}

@@ -160,12 +160,20 @@ class Round10Spec extends SparkTestBase {
       s"Caches.release() left operator frames pinned: $cachedCount > $before")
   }
 
-  test("window-fuzz family carries rows at the smallest SF (no vacuous oracles)") {
+  test("every generated fuzz gate carries rows at the smallest SF (no vacuous oracles)") {
     assume(new java.io.File(s"$dir/orders.parquet").exists())
-    val empty = (36 to 43).map(i => f"q_fuzz_$i%02d").filter { g =>
+    // round 9 shipped q_fuzz_43 comparing empty-to-empty everywhere and
+    // q_fuzz_18/q_fuzz_37 empty at the driver's own gate SF; an empty
+    // compare proves nothing, so EVERY generator-made gate (plus the two
+    // existence-join hand gates, which went vacuous the same way) must
+    // select rows at the smallest fixture
+    val gates = SparkEntry.queries.keys.filter(_.startsWith("q_fuzz_")).toSeq.sorted ++
+      Seq("q_anti_join", "q_semi_join")
+    val empty = gates.filter { g =>
       SparkEntry.queries(g)(spark, dir).limit(1).count() == 0
     }
     assert(empty.isEmpty,
       s"vacuous at sf0.001 — these gates compare empty-to-empty: $empty")
+    graft.core.Caches.release()
   }
 }

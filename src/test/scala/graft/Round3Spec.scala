@@ -223,7 +223,7 @@ class Round3Spec extends SparkTestBase {
   // ===== sessionize: out-of-order events merge into one past session =====
 
   test("sessionize merges consecutive too-old events into one provisional session") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val dir = graft.core.TempDirs.scratch("graft_late")
     def write(name: String, body: String): Unit =
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), body)
     // batch 1 opens the live session at 12:00
@@ -255,7 +255,7 @@ class Round3Spec extends SparkTestBase {
   // ===== reliable checkpointing =====
 
   test("connectedComponents reliable=true writes DFS checkpoints and matches local mode") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val dir = graft.core.TempDirs.scratch("graft_chk")
     sc.setCheckpointDir(dir)
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"))
       .toDF("src", "target")

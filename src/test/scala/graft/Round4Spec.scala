@@ -53,7 +53,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("sessionize streaming output equals the batch gaps-and-islands twin") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq").toString
+    val dir = graft.core.TempDirs.scratch("graft_sess_eq")
     val rng = new scala.util.Random(42)
     val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
       .withZone(java.time.ZoneOffset.UTC)

@@ -159,7 +159,7 @@ class Round9Spec extends SparkTestBase {
     // csv reader: a 2-column projection + 1-column filter over the
     // 6-column orders table may read exactly those 3 columns.
     assume(new java.io.File(s"$dir/orders.parquet").exists())
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tsvaudit").toString
+    val tmp = graft.core.TempDirs.scratch("graft_tsvaudit")
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     graft.sources.TsvIO.write(orders, s"$tmp/orders")
     val df = graft.sources.TsvIO.readWithFilterTransform(spark,

@@ -60,7 +60,7 @@ class SurfaceSpec extends SparkTestBase {
   }
 
   test("streaming windowed aggregate over a file source") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val dir = graft.core.TempDirs.scratch("graft_stream")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part1.json"),
       """{"ts": "2024-01-01T00:05:00", "k": "a", "v": 1.0}
         |{"ts": "2024-01-01T00:10:00", "k": "a", "v": 2.0}
@@ -81,7 +81,7 @@ class SurfaceSpec extends SparkTestBase {
   }
 
   test("streamingDedup suppresses key re-occurrence at a NEW timestamp") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val dir = graft.core.TempDirs.scratch("graft_dedup")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
       """{"ts": "2024-01-01T00:00:00", "k": "a", "v": 1.0}
         |{"ts": "2024-01-01T00:01:00", "k": "a", "v": 2.0}
@@ -98,7 +98,7 @@ class SurfaceSpec extends SparkTestBase {
   }
 
   test("flatMapGroupsWithState sessionization over a file stream") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val dir = graft.core.TempDirs.scratch("graft_sess")
     // key a: burst at 00:00-00:02, quiet, burst at 01:00; gap 10min
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
       """{"ts": "2024-01-01T00:00:00", "k": "a", "v": 1.0}
