@@ -41,6 +41,12 @@ for name, sql in sorted(oracle.items()):
         bad.append((name, f"SCHEMA: spark={list(got.columns)} oracle={list(exp.columns)}")); continue
     if len(got) != len(exp):
         bad.append((name, f"ROWS: spark={len(got)} oracle={len(exp)}")); continue
+    if len(got) == 0:
+        # an empty-vs-empty compare proves only that both sides are empty
+        # (round 9 shipped q_fuzz_43 that way; round 10 found the
+        # decontaminate gates empty at sf1 only) — fail it so vacuity at
+        # ANY tested SF is caught by the sweep itself, not a spot-check
+        bad.append((name, "VACUOUS: both sides empty at this SF")); continue
     # normalize: stringify everything the way a hash compare would
     def norm(df):
         return df.map(lambda v: f"{v}")

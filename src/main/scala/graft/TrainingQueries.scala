@@ -265,15 +265,21 @@ object TrainingQueries {
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // ===== decontamination: docs sharing 3-grams with a planted "eval
-    // benchmark" (every 37th doc) are contaminated; minMatches=1 =====
+    // benchmark" are contaminated; minMatches=1. The benchmark is
+    // FIXED-SIZE (every 37th doc among ids < 500, present at every SF):
+    // an eval set that scaled with the corpus saturated 3-gram coverage
+    // at 10x (zero survivors at sf1 = an empty-vs-empty compare), and a
+    // real benchmark doesn't grow with the training corpus anyway. =====
     "q_contamination_report" -> ((s, dir) =>
       Dedup.contaminationReport(docs(s, dir), "doc_id", "text",
-          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3)
+          docs(s, dir).filter(col("doc_id") % 37 === 0 && col("doc_id") < 500),
+          "text", n = 3)
         .orderBy("doc_id")),
 
     "q_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), "doc_id", "text",
-          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3)
+          docs(s, dir).filter(col("doc_id") % 37 === 0 && col("doc_id") < 500),
+          "text", n = 3)
         .select("doc_id").orderBy("doc_id")),
 
     // broadcast-Bloom pre-filter + exact confirm join: the Bloom changes
@@ -282,8 +288,8 @@ object TrainingQueries {
     // gate scale — a silently-skipped confirm would hash-mismatch.
     "q_decontaminate_bloom" -> ((s, dir) =>
       Dedup.decontaminateBloom(docs(s, dir), "doc_id", "text",
-          docs(s, dir).filter(col("doc_id") % 37 === 0), "text", n = 3,
-          fpp = 0.2)
+          docs(s, dir).filter(col("doc_id") % 37 === 0 && col("doc_id") < 500),
+          "text", n = 3, fpp = 0.2)
         .select("doc_id").orderBy("doc_id")),
 
     // tables = 1 pins the gate to the single-table sign-LSH the DuckDB
@@ -579,7 +585,7 @@ object TrainingQueries {
     "q_contamination_report" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
-          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 500),
           dg AS (SELECT doc_id, unnest(s) AS g FROM sh)
           SELECT dg.doc_id, count(*) AS eval_ngram_hits
           FROM dg JOIN ev ON dg.g = ev.g
@@ -588,7 +594,7 @@ object TrainingQueries {
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
-          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 500),
           dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
           bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g)
           SELECT d.doc_id FROM documents d
@@ -600,7 +606,7 @@ object TrainingQueries {
     "q_decontaminate_bloom" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           sh AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS s FROM t),
-          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+          ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0 AND doc_id < 500),
           dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
           bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g)
           SELECT d.doc_id FROM documents d

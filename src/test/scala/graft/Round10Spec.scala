@@ -160,6 +160,23 @@ class Round10Spec extends SparkTestBase {
       s"Caches.release() left operator frames pinned: $cachedCount > $before")
   }
 
+  test("gate plan audit: q_etl_scan reads only the 2 selected date partitions") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // GapSpec proves the mechanism on its own 3-row table; this proves
+    // the SHIPPED gate: the fixture spans 30 days, the gate asks for
+    // 20240102..20240103, and the executed scan must touch exactly those
+    // 2 partitions (a full-scan-then-filter plan would read all 30)
+    val df = SparkEntry.queries("q_etl_scan")(spark, dir)
+    df.collect()
+    val scans = fileScans(df).filter(_.relation.partitionSchema.fieldNames.contains("dt"))
+    assert(scans.nonEmpty, "q_etl_scan has no dt-partitioned file scan")
+    val s = scans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "dt")),
+      s"no partition filter on dt: ${s.partitionFilters}")
+    assert(s.metrics("numPartitions").value == 2,
+      s"expected 2 pruned date partitions, read ${s.metrics("numPartitions").value}")
+  }
+
   test("every generated fuzz gate carries rows at the smallest SF (no vacuous oracles)") {
     assume(new java.io.File(s"$dir/orders.parquet").exists())
     // round 9 shipped q_fuzz_43 comparing empty-to-empty everywhere and
@@ -168,7 +185,13 @@ class Round10Spec extends SparkTestBase {
     // existence-join hand gates, which went vacuous the same way) must
     // select rows at the smallest fixture
     val gates = SparkEntry.queries.keys.filter(_.startsWith("q_fuzz_")).toSeq.sorted ++
-      Seq("q_anti_join", "q_semi_join")
+      Seq("q_anti_join", "q_semi_join",
+        // the decontaminate trio went vacuous at sf1 in round 10 (a
+        // corpus-scaling eval set saturated n-gram coverage at 10x);
+        // their eval benchmarks are now pinned to ids < 500 — guard the
+        // survivor side here, and check_oracle.py hard-fails any
+        // empty-vs-empty compare at every driver-tested SF
+        "q_contamination_report", "q_decontaminate", "q_decontaminate_bloom")
     val empty = gates.filter { g =>
       SparkEntry.queries(g)(spark, dir).limit(1).count() == 0
     }
