@@ -7,4 +7,6 @@ done
 SPARK_GRAFT_SF_DIR=${1:-/tmp/sf1} SPARK_GRAFT_BENCH_OUT=${2:-target/bench_full_sf1.json} \
 java $OPENS -Xmx32g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench
-echo "BENCH_EXIT=$?"
+rc=$?
+echo "BENCH_EXIT=$rc"
+exit $rc

@@ -35,12 +35,13 @@ object Bench {
       SparkEntry.queries.toSeq.filter(p => nameFilter(p._1))
         .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch {
+        // scoped: the query's operator persists are released when (and
+        // only when) ITS action finishes — never another query's
+        val n = try graft.core.Caches.scoped { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
             -1L
         }
-        graft.core.Caches.release()
         name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
       }
     // best of N passes (default 3): the first pass absorbs page-cache/JIT

@@ -25,15 +25,15 @@ object Verify {
     // summary on stderr AND a nonzero exit.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // scoped: schema-inference / gram caches are per-query scratch,
+      // freed exactly when this query's write finishes
+      try graft.core.Caches.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // schema-inference caches are per-query scratch; freeing them here
-      // keeps one query's MEMORY_AND_DISK residue from outliving it
-      graft.core.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

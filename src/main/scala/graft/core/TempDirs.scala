@@ -33,8 +33,12 @@ object TempDirs {
     * and by call sites that can free their staging early. */
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    try Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(q => Files.deleteIfExists(q))
-    catch { case _: Exception => }
+    // Files.walk holds a directory-stream fd until closed — per-query
+    // cleanups in a long bench run would otherwise accumulate them
+    try {
+      val st = Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(q => Files.deleteIfExists(q))
+      finally st.close()
+    } catch { case _: Exception => }
   }
 }

@@ -34,8 +34,10 @@ object Bucketing {
     // the name lands inside a SQL statement: reject anything a backtick
     // quote can't make safe, then quote — an interpolated raw name with
     // special characters would break the DROP or execute unintended SQL
-    require(table.matches("[A-Za-z0-9_.]+") && !table.contains(".."),
-      s"table name must be [A-Za-z0-9_.]+: '$table'")
+    // every dot-separated segment must be non-empty: '.a' would quote to
+    // the invalid ``.`a` and 'a.' would silently create table `a`
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*"),
+      s"table name must be dot-separated [A-Za-z0-9_]+ segments: '$table'")
     val quoted = table.split('.').map(p => s"`$p`").mkString(".")
     // a previous table at a DIFFERENT path must not shadow the new data
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $quoted")
