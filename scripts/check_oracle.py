@@ -11,11 +11,14 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("--skip")]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
 skip = set()
+only = None  # dev loop: --only=substr1,substr2 checks just matching gates
 for a in sys.argv[1:]:
     if a.startswith("--skip="):
         skip = set(a.split("=", 1)[1].split(","))
+    if a.startswith("--only="):
+        only = a.split("=", 1)[1].split(",")
 sf_dir, out_dir = args[0], args[1]
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
@@ -27,6 +30,8 @@ ok, bad, skipped = [], [], []
 for name, sql in sorted(oracle.items()):
     if name in skip:
         skipped.append(name); continue
+    if only is not None and not any(p in name for p in only):
+        continue
     pq = f"{out_dir}/{name}"
     if not os.path.isdir(pq):
         bad.append((name, "NO SPARK OUTPUT")); continue
@@ -209,6 +214,8 @@ SPECIAL = {
     "q_sim_ivf_topk": check_ivf_topk,
 }
 for name, fn in sorted(SPECIAL.items()):
+    if only is not None and not any(p in name for p in only):
+        continue
     pq = f"{out_dir}/{name}"
     if not os.path.isdir(pq):
         bad.append((name, "NO SPARK OUTPUT")); continue

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.XDF
 
@@ -1355,7 +1355,200 @@ object FuzzQueries {
     }
   }
 
+  // ===== generated EXPLODE_JSON option-matrix pipelines (q_fuzz_76..81) =====
+  // explode_json is the reference's single biggest operator (390 LoC of
+  // interacting options, dataframe.py:4292-4682) yet until round 11 had
+  // only 3 handwritten gates. These build nested JSON payloads
+  // DETERMINISTICALLY from table columns (to_json over nested struct /
+  // array constructions, so the DuckDB oracle re-derives every flattened
+  // cell from the SOURCE columns — no JSON parsing divergence can hide),
+  // then run the full inference path (spark.read.json sample + persist)
+  // and one option axis per case, cycled by index so each is covered:
+  //   op 0: depth-3 nested maps + accepted/excluded col draws + collapsed
+  //         primitive list (the reference default CSV-join);
+  //   op 1: array-of-structs fan-out with __explode_json_index__/_len__
+  //         sidecars over seeded VARIABLE-length (1..3) arrays;
+  //   op 2: primitive-list fan-out (collapse=false) + maxResults cap;
+  //   op 3: nestedCols (:json_encoded subtree — the oracle reproduces
+  //         Spark's exact to_json rendering) + singleValueListCols;
+  //   op 4: transpose_col_groups ({key,value} entries pivot to per-key
+  //         columns, keys drawn from row data so presence varies by row);
+  //   op 5: cogroup merge of TWO arrays with different seeded lengths
+  //         (including length 0 — the pad-align + null-fill path).
+  // Determinism rules: only unique-id tables (fan-out sorts on (id,
+  // index) are total); no float columns anywhere near a payload (string
+  // round-trips stay format-safe); at most ONE seeded filter (two draws
+  // on these narrow tables too often conjoin to empty — the asof-family
+  // lesson); n_name stays banned (correlated-column vacuity).
+
+  private case class ExplodeCase(name: String, t: Table, fs: Seq[Filter],
+                                 op: Int, id: String, int2: String,
+                                 str1: String, str2: String,
+                                 accepted: Seq[String], excluded: Seq[String])
+
+  private val explodeTables = Seq(tables(0), tables(2), nationTable)
+
+  private val explodePipelines: Seq[ExplodeCase] = {
+    val rnd = new scala.util.Random(767676L)
+    (0 until 6).map { i =>
+      val t = explodeTables(rnd.nextInt(explodeTables.length))
+      val fs = Seq.fill(rnd.nextInt(2))(genFilter(rnd, t, banned = Set("n_name")))
+      val id = uniqueIds(t.name)
+      val ints = t.cols.filter(_.kind == "int").map(_.name)
+      val strs = t.strPool.keys.toSeq.sorted
+      val int2 = ints.filterNot(_ == id).headOption.getOrElse(id)
+      val str1 = strs(rnd.nextInt(strs.length))
+      val str2 = strs(rnd.nextInt(strs.length))
+      val others = Seq("b", "m", "deep", "tags")
+      val accepted = "a" +: rnd.shuffle(others).take(2 + rnd.nextInt(2))
+      val excluded =
+        if (rnd.nextBoolean()) Seq(others(rnd.nextInt(others.length))) else Nil
+      ExplodeCase(f"q_fuzz_${76 + i}%02d", t, fs, i, id, int2, str1, str2,
+        accepted, excluded)
+    }
+  }
+
+  private def explodeQuery(c: ExplodeCase)(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.JsonFlattener
+    val base = filtersOn(s, dir, c.t, c.fs).toDF
+    val id = col(c.id)
+    val i2 = col(c.int2)
+    val s1 = col(c.str1).cast("string")
+    val s2 = col(c.str2).cast("string")
+    def flatten(payload: Column,
+                accepted: Seq[String] = Nil, excluded: Seq[String] = Nil,
+                nested: Seq[String] = Nil, single: Seq[String] = Nil,
+                transpose: Seq[String] = Nil, collapse: Boolean = true,
+                merge: String = "join", maxResults: Int = -1): DataFrame =
+      JsonFlattener.explodeJson(
+        base.select(id.as(c.id), payload.as("payload")), "payload", "j",
+        acceptedCols = accepted, excludedCols = excluded, nestedCols = nested,
+        collapsePrimitiveList = collapse, arrayMergeMode = merge,
+        singleValueListCols = single, maxResults = maxResults,
+        transposeColGroups = transpose)
+    c.op match {
+      case 0 =>
+        flatten(to_json(struct(
+            id.as("a"), s1.as("b"),
+            struct(i2.as("x"), s2.as("y")).as("m"),
+            struct(struct(i2.as("q")).as("p")).as("deep"),
+            array(s2, concat(lit("t"), (i2 % 4).cast("string"))).as("tags"))),
+          accepted = c.accepted, excluded = c.excluded)
+          .orderBy(id)
+      case 1 =>
+        val elems = (0 until 3).map { j =>
+          struct(concat(lit("k"), ((id + j) % 7).cast("string")).as("k"),
+            (i2 + j).cast("long").as("v"))
+        }
+        flatten(to_json(struct(id.as("a"),
+            slice(array(elems: _*), lit(1), (id % 3 + 1).cast("int")).as("items"))))
+          .orderBy(id, col("j:items:__explode_json_index__"))
+      case 2 =>
+        val elems = (0 until 4).map(j => (id * 10 + j).cast("long"))
+        flatten(to_json(struct(s1.as("a"),
+            slice(array(elems: _*), lit(1), (id % 4 + 1).cast("int")).as("nums"))),
+          collapse = false, maxResults = 2)
+          .orderBy(id, col("j:nums:__explode_json_index__"))
+      case 3 =>
+        flatten(to_json(struct(id.as("a"),
+            struct(i2.as("u"), s2.as("w")).as("meta"),
+            array(struct(s1.as("s"), (i2 + id).cast("long").as("t"))).as("one"))),
+          nested = Seq("meta"), single = Seq("one"))
+          .orderBy(id)
+      case 4 =>
+        flatten(to_json(struct(id.as("a"),
+            array(
+              struct(lit("p").as("key"), s1.as("value")),
+              struct(concat(lit("q"), (id % 2).cast("string")).as("key"),
+                i2.cast("string").as("value"))).as("g"))),
+          transpose = Seq("g"))
+          .orderBy(id)
+      case _ =>
+        val xs = (0 until 2).map(j => (id + j * 3).cast("long"))
+        val ys = (0 until 2).map { j =>
+          struct(concat(lit("y"), ((id + j) % 5).cast("string")).as("k"),
+            s1.as("v"))
+        }
+        flatten(to_json(struct(
+            slice(array(xs: _*), lit(1), (id % 2 + 1).cast("int")).as("xs"),
+            slice(array(ys: _*), lit(1), (id % 3).cast("int")).as("ys"))),
+          collapse = false, merge = "cogroup")
+          .orderBy(id, col("j:xs:__explode_json_index__"))
+    }
+  }
+
+  private def explodeOracle(c: ExplodeCase): String = {
+    val where =
+      if (c.fs.isEmpty) "" else s" WHERE ${c.fs.map(_.sql).mkString(" AND ")}"
+    val (id, i2, s1, s2) = (c.id, c.int2, c.str1, c.str2)
+    c.op match {
+      case 0 =>
+        val keep = c.accepted.filterNot(c.excluded.contains)
+        val exprs = keep.flatMap {
+          case "a" => Seq(s"""CAST($id AS VARCHAR) AS "j:a"""")
+          case "b" => Seq(s"""$s1 AS "j:b"""")
+          case "m" => Seq(s"""CAST($i2 AS VARCHAR) AS "j:m:x"""",
+            s"""$s2 AS "j:m:y"""")
+          case "deep" => Seq(s"""CAST($i2 AS VARCHAR) AS "j:deep:p:q"""")
+          case _ => Seq(s"""$s2 || ',' || 't' || ($i2 % 4) AS "j:tags"""")
+        }
+        s"""SELECT $id, ${exprs.mkString(", ")}
+            FROM ${c.t.name}$where ORDER BY $id"""
+      case 1 =>
+        s"""WITH e AS (SELECT $id, $i2, CAST($id % 3 + 1 AS INT) AS l
+                       FROM ${c.t.name}$where)
+            SELECT $id, CAST($id AS VARCHAR) AS "j:a",
+                   l AS "j:items:__explode_json_len__",
+                   CAST(r.range AS INT) AS "j:items:__explode_json_index__",
+                   'k' || (($id + r.range) % 7) AS "j:items:k",
+                   CAST($i2 + r.range AS VARCHAR) AS "j:items:v"
+            FROM e JOIN range(0, 3) r ON r.range < l
+            ORDER BY $id, "j:items:__explode_json_index__""""
+      case 2 =>
+        s"""WITH e AS (SELECT $id, $s1 AS a, CAST($id % 4 + 1 AS INT) AS l
+                       FROM ${c.t.name}$where)
+            SELECT $id, a AS "j:a",
+                   CAST(least(l, 2) AS INT) AS "j:nums:__explode_json_len__",
+                   CAST(r.range AS INT) AS "j:nums:__explode_json_index__",
+                   CAST($id * 10 + r.range AS VARCHAR) AS "j:nums:value"
+            FROM e JOIN range(0, 2) r ON r.range < least(l, 2)
+            ORDER BY $id, "j:nums:__explode_json_index__""""
+      case 3 =>
+        s"""SELECT $id, CAST($id AS VARCHAR) AS "j:a",
+                   '{"u":' || $i2 || ',"w":"' || $s2 || '"}'
+                     AS "j:meta:json_encoded",
+                   $s1 AS "j:one:s",
+                   CAST($i2 + $id AS VARCHAR) AS "j:one:t"
+            FROM ${c.t.name}$where ORDER BY $id"""
+      case 4 =>
+        s"""SELECT $id, CAST($id AS VARCHAR) AS "j:a",
+                   $s1 AS "j:g:p",
+                   CASE WHEN $id % 2 = 0 THEN CAST($i2 AS VARCHAR) END AS "j:g:q0",
+                   CASE WHEN $id % 2 = 1 THEN CAST($i2 AS VARCHAR) END AS "j:g:q1"
+            FROM ${c.t.name}$where ORDER BY $id"""
+      case _ =>
+        s"""WITH e AS (SELECT $id, $s1 AS s1v,
+                              CAST($id % 2 + 1 AS INT) AS lx,
+                              CAST($id % 3 AS INT) AS ly
+                       FROM ${c.t.name}$where)
+            SELECT $id,
+                   lx AS "j:xs:__explode_json_len__",
+                   ly AS "j:ys:__explode_json_len__",
+                   CAST(r.range AS INT) AS "j:xs:__explode_json_index__",
+                   CAST(r.range AS INT) AS "j:ys:__explode_json_index__",
+                   CASE WHEN r.range < lx
+                        THEN CAST($id + r.range * 3 AS VARCHAR) END AS "j:xs:value",
+                   CASE WHEN r.range < ly
+                        THEN 'y' || (($id + r.range) % 5) END AS "j:ys:k",
+                   CASE WHEN r.range < ly THEN s1v END AS "j:ys:v"
+            FROM e JOIN range(0, 3) r ON r.range < greatest(lx, ly)
+            ORDER BY $id, "j:xs:__explode_json_index__""""
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    explodePipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => explodeQuery(c)(s, dir))).toMap ++
     rangePipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => rangeQuery(c)(s, dir))).toMap ++
     sketchPipelines.map(c => c.name ->
@@ -1427,6 +1620,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    explodePipelines.map(c => c.name -> explodeOracle(c)).toMap ++
     rangePipelines.map(c => c.name -> rangeOracle(c)).toMap ++
     sketchPipelines.map(c => c.name -> sketchOracle(c)).toMap ++
     sessPipelines.map(c => c.name -> sessOracle(c)).toMap ++

@@ -24,7 +24,17 @@ object Verify {
     // every gate, then make the breakage impossible to miss: a MISSING
     // summary on stderr AND a nonzero exit.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop convenience mirroring Bench: SPARK_GRAFT_QUERY_FILTER=
+    // substr1,substr2 dumps only matching queries (the driver never sets
+    // it, so driver runs always dump the full set)
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_QUERY_FILTER") match {
+        case Some(f) if f.nonEmpty =>
+          val pats = f.split(",").map(_.trim).filter(_.nonEmpty)
+          n => pats.exists(n.contains)
+        case _ => _ => true
+      }
+    SparkEntry.queries.filter(p => nameFilter(p._1)).foreach { case (name, fn) =>
       // scoped: schema-inference / gram caches are per-query scratch,
       // freed exactly when this query's write finishes
       try graft.core.Caches.scoped {
