@@ -69,6 +69,33 @@ object Round4Queries {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "p_name")
     }),
 
+    // ===== plain (UN-salted) join on a planted 90%-hot key: the path a
+    // 100-TB user hits first, surviving via AQE's runtime skew-split
+    // rather than manual salting. 90% of lineitem rows land on skey=0;
+    // the merge hint keeps the small right side from broadcasting the
+    // demo away; the aggregate groups on a DIFFERENT key than the join,
+    // so its exchange exists regardless and AQE's OptimizeSkewedJoin can
+    // split the hot partition without introducing an extra shuffle.
+    // SkewSpec asserts the split actually happens under production-shaped
+    // thresholds; this gate pins the VALUES equal the plain join =====
+    // (the right side must be a BARE scan — an aggregate/distinct between
+    // the shuffle and the join's Sort breaks OptimizeSkewedJoin's
+    // pattern match and silently forfeits the split; nation's keys are
+    // already unique)
+    "q_skew_aqe_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 24 + 1).as("skey"),
+        col("l_quantity"))
+      val r = t(s, dir, "nation")
+        .select(col("n_nationkey").as("rkey"), col("n_regionkey").as("cat"))
+      l.hint("merge").join(r, col("skey") === col("rkey"))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("cat")
+    }),
+
     // ===== sessionize (batch twin): gap-based sessions per user over the
     // events fixture; value quantized to cents so sums are order-exact =====
     "q_sessionize_batch" -> ((s, dir) => {
@@ -121,6 +148,15 @@ object Round4Queries {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          ORDER BY l_orderkey, l_linenumber, l_partkey, p_name""",
+
+    "q_skew_aqe_join" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                               ELSE l_orderkey % 24 + 1 END AS skey,
+                          l_quantity FROM lineitem)
+         SELECT n_regionkey AS cat, CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM l JOIN nation ON skey = n_nationkey
+         GROUP BY n_regionkey ORDER BY cat""",
 
     "q_sessionize_batch" ->
       """WITH e AS (
