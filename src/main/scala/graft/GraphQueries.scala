@@ -3,78 +3,41 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.Sampling
-import graft.operators.{Dedup, GraphOps}
+import graft.core.{Reshape, Sampling, XDF}
+import graft.functions.{Sketches, TimeFuncs, Udfs}
+import graft.operators.{Dedup, GraphOps, Layout, RangeJoin, Skew}
+import graft.streaming.StreamOps
 
 /**
- * Round-2 correctness-gate queries: the planted hot-bucket dedup
- * fixture, the sampling long tail (sample_group_by_col_value,
- * sample_group_by_max_uniq_values_per_class, sample_n with
- * replacement), and the graph long tail (full get_forward_edges_only
- * contract, time-based variant, edge filters). Merged into
- * SparkEntry.queries.
+ * Graph-operator gates: forward-edge contracts, time-respecting
+ * variants, edge filters, cycle removal, leaf merging.
+ *
+ * Round-11 reorganization: gates regrouped by operator family from the
+ * round-numbered registries (Round2/4/6/9/9b/9c/9d); query names, plans,
+ * and oracles unchanged — per-round history lives in git.
  */
-object Round2Queries {
+object GraphQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Planted corpus: one hot cluster of `hot` identical docs plus
-    * `distinctN` mutually-dissimilar docs (disjoint shingle sets). The
-    * dedup survivors are closed-form: doc 0 + every distinct doc. */
-  private def hotCorpus(s: SparkSession, hot: Int, distinctN: Int): DataFrame =
-    s.range(0, hot + distinctN).select(col("id").as("doc_id"),
-      when(col("id") < hot,
-          lit("the same boilerplate page body repeated verbatim across the corpus"))
-        .otherwise(concat_ws(" ",
-          concat(lit("alpha"), col("id")), concat(lit("beta"), col("id")),
-          concat(lit("gamma"), col("id")), concat(lit("delta"), col("id")),
-          concat(lit("epsilon"), col("id")))).as("text"))
+  private def cyclicEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      concat(lit("c"), col("o_custkey") % 20).as("src"),
+      concat(lit("c"), col("o_orderkey") % 20).as("target"),
+      (col("o_orderkey") % 1000).as("ts"))
+
+  private def treeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+        concat(lit("r"), col("n_regionkey")).as("src"),
+        concat(lit("n"), col("n_nationkey")).as("target"))
+      .union(t(s, dir, "supplier").filter(col("s_suppkey") <= 100).select(
+        concat(lit("n"), col("s_nationkey")).as("src"),
+        concat(lit("s"), col("s_suppkey")).as("target")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ===== dedup under a planted hot bucket: 100k identical docs share
-    // every LSH band bucket; survivors = min id of the hot cluster plus
-    // all mutually-dissimilar docs. The per-bucket min is a map-side
-    // combinable groupBy — no window, no single-task bucket. =====
-    "q_dedup_hot_bucket" -> ((s, _) =>
-      Dedup.minhashDedup(hotCorpus(s, 100000, 500), "doc_id", "text")
-        .select(col("doc_id")).orderBy("doc_id")),
 
-    // ===== sample_group_by_col_value (portable gate): all-or-nothing
-    // group sampling conditioned on the group's value =====
-    "q_sample_group_by_col_value" -> ((s, dir) => {
-      val df = t(s, dir, "lineitem")
-        .withColumn("bucket7", (col("l_orderkey") % 7).cast(StringType))
-      Sampling.sampleGroupByColValuePortable(df, Seq("l_orderkey"),
-          "bucket7", "3", "40")
-        .select(col("l_orderkey"), col("l_linenumber"), col("bucket7"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ===== sample_group_by_max_uniq_values_per_class: per-class cap on
-    // distinct values within each group (exact md5-ranked variant);
-    // value column is derived (ship month) — the fixture lineitem carries
-    // no categorical value column beyond the class/group ones =====
-    "q_sample_per_class_cap" -> ((s, dir) =>
-      Sampling.sampleGroupByMaxUniqValuesPerClass(
-          t(s, dir, "lineitem").withColumn("ship_month",
-            month(col("l_shipdate")).cast(StringType)),
-          Seq("l_returnflag"), "l_linestatus",
-          "ship_month", Map("O" -> 2), defMaxUniq = Some(3))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_linestatus"), col("ship_month"))
-        // full-row ordering: (orderkey, linenumber) is not unique in the
-        // synthetic fixture, and non-unique sort keys flake the row-order
-        // compare
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_linestatus", "ship_month")),
-
-    // ===== sample_n with replacement: exact-n multinomial draw;
-    // RNG-dependent, rows-only gate (count must be exactly n) =====
-    "q_sample_n_replace" -> ((s, dir) =>
-      Sampling.sampleNWithReplacement(
-          t(s, dir, "orders").select(col("o_orderkey")), 100, seed = 7)),
 
     // ===== full get_forward_edges_only contract over a diamond DAG:
     // region->nation->supplier plus direct region->supplier edges =====
@@ -92,6 +55,8 @@ object Round2Queries {
         .orderBy("src", "target")
     }),
 
+
+
     // ===== time-based forward edges: chain with mixed timestamps, so
     // time-respecting reachability is a strict subset of reachability =====
     "q_graph_time_forward" -> ((s, dir) => {
@@ -102,6 +67,8 @@ object Round2Queries {
       GraphOps.timeBasedForwardEdgesOnly(e, "ts", "tfwd")
         .orderBy("src", "target")
     }),
+
+
 
     // ===== split_graph_filter: retention windows around detections =====
     "q_graph_split_filter" -> ((s, dir) => {
@@ -117,6 +84,8 @@ object Round2Queries {
         .orderBy("src", "target", "ts")
     }),
 
+
+
     // ===== apply_time_order_based_filter: prune edges whose every
     // adjacent pairing violates time order (strict variant) =====
     "q_graph_time_order_filter" -> ((s, dir) => {
@@ -128,32 +97,27 @@ object Round2Queries {
       GraphOps.applyTimeOrderBasedFilter(e, "ts", Nil, strictOrdering = true)
         .orderBy("src", "target")
     }),
+
+
+
+    // ===== remove_cycles: drop edges departing a node before its first
+    // observed arrival (DAG-izing filter for event graphs) =====
+    "q_graph_remove_cycles" -> ((s, dir) =>
+      GraphOps.removeCycles(cyclicEdges(s, dir), "ts")
+        .orderBy("src", "target", "ts")),
+
+
+
+    // ===== merge_similar_leaf_nodes: leaves sharing (parent, key) merge
+    // into one grp node with a count; similarity key = last char =====
+    "q_graph_merge_leaves" -> ((s, dir) =>
+      GraphOps.mergeSimilarLeafNodes(treeEdges(s, dir),
+          _ => substring(col("target"), -1, 1))
+        .orderBy("src", "target", "merged_count")),
   )
 
   def oracleSql: Map[String, String] = Map(
-    // survivors are closed-form for the planted corpus: the hot cluster
-    // collapses to its min id, every distinct doc survives
-    "q_dedup_hot_bucket" ->
-      """SELECT i::BIGINT AS doc_id FROM range(0, 100500) t(i)
-         WHERE i = 0 OR i >= 100000 ORDER BY doc_id""",
 
-    "q_sample_group_by_col_value" ->
-      """SELECT l_orderkey, l_linenumber, (l_orderkey % 7)::VARCHAR AS bucket7
-         FROM lineitem
-         WHERE (l_orderkey % 7) <> 3
-            OR substr(md5(coalesce(l_orderkey::VARCHAR, chr(0)) || chr(1) || '0'), 1, 2) < '40'
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "q_sample_per_class_cap" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month
-         FROM (
-           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month,
-                  dense_rank() OVER (PARTITION BY l_returnflag
-                    ORDER BY md5(coalesce(ship_month, chr(0)) || chr(1) || '0'),
-                             ship_month) AS dr
-           FROM (SELECT *, month(l_shipdate)::VARCHAR AS ship_month FROM lineitem))
-         WHERE dr <= CASE WHEN l_linestatus = 'O' THEN 2 ELSE 3 END
-         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, ship_month""",
 
     "q_graph_forward_edges" ->
       """WITH RECURSIVE edges AS (
@@ -187,6 +151,8 @@ object Round2Queries {
          LEFT JOIN ap ON ap.dest = e.target
          ORDER BY e.src, e.target""",
 
+
+
     "q_graph_time_forward" ->
       """WITH RECURSIVE e AS (
            SELECT 'a' || n_nationkey AS src, 'a' || (n_nationkey + 1) AS target,
@@ -214,6 +180,8 @@ object Round2Queries {
          LEFT JOIN ap ON ap.node = e.target
          ORDER BY e.src, e.target""",
 
+
+
     "q_graph_split_filter" ->
       """WITH e AS (
            SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS target,
@@ -234,6 +202,8 @@ object Round2Queries {
             OR (rt.node_id IS NOT NULL AND e.ts <= rt.ts_max)
             OR (rs.node_id IS NOT NULL AND e.ts >= rs.ts_min)
          ORDER BY e.src, e.target, e.ts""",
+
+
 
     "q_graph_time_order_filter" ->
       """WITH e AS (
@@ -256,5 +226,39 @@ object Round2Queries {
          SELECT e.src, e.target, e.ts FROM e
          WHERE NOT EXISTS (SELECT 1 FROM x WHERE x.src = e.src AND x.target = e.target)
          ORDER BY e.src, e.target""",
+
+
+    "q_graph_remove_cycles" ->
+      """WITH e AS (
+           SELECT 'c' || (o_custkey % 20) AS src,
+                  'c' || (o_orderkey % 20) AS target,
+                  o_orderkey % 1000 AS ts
+           FROM orders
+         ),
+         fs AS (SELECT target AS node_id, min(ts) AS first_in FROM e GROUP BY target)
+         SELECT e.src, e.target, e.ts
+         FROM e LEFT JOIN fs ON e.src = fs.node_id
+         WHERE fs.first_in IS NULL OR fs.first_in <= e.ts
+         ORDER BY src, target, ts""",
+
+
+
+    "q_graph_merge_leaves" ->
+      """WITH e AS (
+           SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS target FROM nation
+           UNION ALL
+           SELECT 'n' || s_nationkey, 's' || s_suppkey FROM supplier WHERE s_suppkey <= 100
+         ),
+         srcs AS (SELECT DISTINCT src FROM e)
+         SELECT src, target, merged_count FROM (
+           SELECT e.src, e.target, 1::BIGINT AS merged_count
+           FROM e WHERE e.target IN (SELECT src FROM srcs)
+           UNION ALL
+           SELECT e.src, 'grp:' || e.src || ':' || right(e.target, 1),
+                  count(*)::BIGINT
+           FROM e WHERE e.target NOT IN (SELECT src FROM srcs)
+           GROUP BY e.src, right(e.target, 1)
+         )
+         ORDER BY src, target, merged_count""",
   )
 }

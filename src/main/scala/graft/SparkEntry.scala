@@ -23,17 +23,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_basic")(spark, "/root/testdata/sf0.001")
 
+  // Registries are grouped by operator family (round-numbered history
+  // lives in git): core scalar gates below, the LLM-pipeline family in
+  // TrainingQueries, reference-parity long tail in ParityQueries, seeded
+  // differential gates in FuzzQueries, and the family files for
+  // io/columns/sampling/graph/skew/streaming/sketch/range-join/dedup.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TrainingQueries.queries ++ ParityQueries.queries ++
-      Round2Queries.queries ++ Round4Queries.queries ++ FuzzQueries.queries ++
-      Round6Queries.queries ++ Round9Queries.queries ++ Round9bQueries.queries ++
-      Round9cQueries.queries ++ Round9dQueries.queries
+      FuzzQueries.queries ++ IoQueries.queries ++ ColumnOpsQueries.queries ++
+      SamplingQueries.queries ++ GraphQueries.queries ++ SkewQueries.queries ++
+      StreamingQueries.queries ++ SketchQueries.queries ++
+      RangeJoinQueries.queries ++ DedupQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TrainingQueries.oracleSql ++ ParityQueries.oracleSql ++
-      Round2Queries.oracleSql ++ Round4Queries.oracleSql ++ FuzzQueries.oracleSql ++
-      Round6Queries.oracleSql ++ Round9Queries.oracleSql ++ Round9bQueries.oracleSql ++
-      Round9cQueries.oracleSql ++ Round9dQueries.oracleSql
+      FuzzQueries.oracleSql ++ IoQueries.oracleSql ++ ColumnOpsQueries.oracleSql ++
+      SamplingQueries.oracleSql ++ GraphQueries.oracleSql ++ SkewQueries.oracleSql ++
+      StreamingQueries.oracleSql ++ SketchQueries.oracleSql ++
+      RangeJoinQueries.oracleSql ++ DedupQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -116,6 +116,17 @@ object TrainingQueries {
         .select("doc_id", "chunk_index", "chunk_text")
         .orderBy("doc_id", "chunk_index")),
 
+    // ===== greedy token-budget packing, single shard so the bin ids are
+    // the global greedy recurrence DuckDB can replay =====
+    "q_pack_greedy" -> ((s, dir) =>
+      Packing.packGreedy(
+          Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("n_chars")),
+          "n_chars", capacity = 2000, orderCols = Seq("doc_id"),
+          numPartitions = 1)
+        .select("doc_id", "n_chars", "bin_id")
+        .orderBy("doc_id")),
+
     "q_text_quality" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("uniq_ratio", round(TextOps.uniqTokenRatio(col("text")), 4))
@@ -350,6 +361,29 @@ object TrainingQueries {
                  array_to_string(toks[i * 50 + 1 : i * 50 + 50], ' ') AS chunk_text
           FROM t, UNNEST(range((len(toks) + 49) // 50)) AS u(i)
           ORDER BY doc_id, chunk_index""",
+
+    // the greedy recurrence replayed row-by-row over the doc_id order
+    // (single shard, so Spark's "pid:bin" label is always "0:<bin>")
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id % 2 = 0),
+         rec AS (
+           SELECT rn, doc_id, n_chars,
+                  0::BIGINT AS bin,
+                  greatest(0, n_chars)::BIGINT AS used
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.doc_id, d.n_chars,
+                  CASE WHEN rec.used > 0 AND rec.used + greatest(0, d.n_chars) > 2000
+                       THEN rec.bin + 1 ELSE rec.bin END,
+                  CASE WHEN rec.used > 0 AND rec.used + greatest(0, d.n_chars) > 2000
+                       THEN greatest(0, d.n_chars)
+                       ELSE rec.used + greatest(0, d.n_chars) END
+           FROM rec JOIN d ON d.rn = rec.rn + 1)
+         SELECT doc_id, n_chars, '0:' || bin AS bin_id
+         FROM rec ORDER BY doc_id""",
 
     "q_text_heavy_hitters" ->
       s"""SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt

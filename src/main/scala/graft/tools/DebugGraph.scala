@@ -40,7 +40,7 @@ object DebugGraph {
     }
     Seq("q_graph_forward_edges", "q_graph_time_forward").foreach { q =>
       try {
-        val n = graft.Round2Queries.queries(q)(spark, "/root/testdata/sf0.001").count()
+        val n = graft.GraphQueries.queries(q)(spark, "/root/testdata/sf0.001").count()
         println(s"$q rows=$n")
       } catch {
         case ex: Throwable => println(s"$q FAIL"); ex.printStackTrace()
