@@ -42,7 +42,7 @@ object SparkEntry {
       StreamingQueries.oracleSql ++ SketchQueries.oracleSql ++
       RangeJoinQueries.oracleSql ++ DedupQueries.oracleSql
 
-  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== §2.2 projections / column ops =====
     "q_select" -> ((s, dir) =>
