@@ -1386,7 +1386,170 @@ object FuzzQueries {
                                  str1: String, str2: String,
                                  accepted: Seq[String], excluded: Seq[String])
 
+  // ===== RANDOM-SHAPE explode_json pipelines (q_fuzz_82..85) =====
+  // The option-axis cases above fix the payload SHAPE per option; these
+  // randomize the shape itself: a seeded tree of nested structs to depth
+  // 2-4 with 2-3 fields per level, leaves drawn from {affine int formula
+  // over the row id, string column}, and at most ONE variable-length
+  // array-of-structs grafted at a random position. Both the Spark
+  // payload construction and the DuckDB oracle derive from the SAME tree
+  // value, so the compare pins the flattener's structural recursion
+  // (path naming, depth handling, array sidecars) under shapes nobody
+  // hand-picked.
+
+  private sealed trait JNode
+  /** leaf: id * k + c (kept small — no overflow at any SF). */
+  private case class JInt(k: Long, c: Long) extends JNode
+  /** leaf: the case's string column. */
+  private case object JStr extends JNode
+  private case class JObj(fields: Seq[(String, JNode)]) extends JNode
+  /** array of structs with leaf-only element fields; length 1 + id %
+    * lenMod; element j shifts int leaves by j and suffixes str leaves. */
+  private case class JArr(lenMod: Int, elem: Seq[(String, JNode)]) extends JNode
+
+  private case class ShapeCase(name: String, t: Table, fs: Seq[Filter],
+                               id: String, str1: String, tree: JObj)
+
+  // NOTE: defined before shapePipelines/explodePipelines — object vals
+  // initialize in declaration order
   private val explodeTables = Seq(tables(0), tables(2), nationTable)
+
+  private def genLeaf(rnd: scala.util.Random): JNode =
+    if (rnd.nextBoolean()) JInt(1 + rnd.nextInt(5), rnd.nextInt(100)) else JStr
+
+  private def genTree(rnd: scala.util.Random, depth: Int,
+                      arrBudget: Int): (JObj, Int) = {
+    var budget = arrBudget
+    val n = 2 + rnd.nextInt(2)
+    val fields = (0 until n).map { i =>
+      val name = s"f$i"
+      val node: JNode =
+        if (depth > 0 && rnd.nextInt(3) == 0 && budget > 0) {
+          budget -= 1
+          JArr(2 + rnd.nextInt(3),
+            (0 until (1 + rnd.nextInt(2))).map(j => (s"e$j", genLeaf(rnd))))
+        } else if (depth > 0 && rnd.nextBoolean()) {
+          val (sub, left) = genTree(rnd, depth - 1, budget)
+          budget = left
+          sub
+        } else genLeaf(rnd)
+      (name, node)
+    }
+    (JObj(fields), budget)
+  }
+
+  private val shapePipelines: Seq[ShapeCase] = {
+    val rnd = new scala.util.Random(858585L)
+    (0 until 4).map { i =>
+      val t = explodeTables(rnd.nextInt(explodeTables.length))
+      val fs = Seq.fill(rnd.nextInt(2))(genFilter(rnd, t, banned = Set("n_name")))
+      val strs = t.strPool.keys.toSeq.sorted
+      val str1 = strs(rnd.nextInt(strs.length))
+      // half the cases carry an array (fan-out path), half are pure
+      // nesting (scalar recursion only); depth >= 2 so the structural
+      // recursion is always exercised, and the array is GRAFTED onto the
+      // root if the random walk didn't place it (a draw that skips the
+      // budget would silently degrade the case to scalar-only)
+      val (tree0, left) = genTree(rnd, depth = 1 + rnd.nextInt(3),
+        arrBudget = i % 2)
+      val tree1 =
+        if (left > 0)
+          JObj(tree0.fields :+ ("fa" -> JArr(2 + rnd.nextInt(3),
+            Seq("e0" -> genLeaf(rnd), "e1" -> genLeaf(rnd)))))
+        else tree0
+      val tree =
+        if (tree1.fields.forall(f => f._2.isInstanceOf[JInt] || f._2 == JStr))
+          JObj(tree1.fields :+ ("fd" -> JObj(Seq(
+            "g0" -> genLeaf(rnd), "g1" -> genLeaf(rnd)))))
+        else tree1
+      ShapeCase(f"q_fuzz_${82 + i}%02d", t, fs, uniqueIds(t.name), str1, tree)
+    }
+  }
+
+  /** Spark-side payload construction for a tree node (element shift j =
+    * -1 outside arrays). */
+  private def shapeCol(c: ShapeCase, node: JNode, j: Int): Column = node match {
+    case JInt(k, cc) =>
+      val base = col(c.id) * k + cc
+      (if (j >= 0) base + j else base).cast("long")
+    case JStr =>
+      if (j >= 0) concat(col(c.str1).cast("string"), lit("_" + j))
+      else col(c.str1).cast("string")
+    case JObj(fields) =>
+      struct(fields.map { case (n, sub) => shapeCol(c, sub, j).as(n) }: _*)
+    case JArr(lenMod, elem) =>
+      val elems = (0 until (lenMod + 1)).map { jj =>
+        struct(elem.map { case (n, leaf) => shapeCol(c, leaf, jj).as(n) }: _*)
+      }
+      slice(array(elems: _*), lit(1), (col(c.id) % lenMod + 1).cast("int"))
+  }
+
+  /** (scalar output columns, optional array info) for the oracle walk:
+    * scalar = (outName, sqlExpr); array = (pathName, lenMod, elem). */
+  private def shapeOracleCols(c: ShapeCase, node: JNode, path: Seq[String],
+                              j: String): (Seq[(String, String)],
+                                           Option[(String, Int, Seq[(String, JNode)])]) =
+    node match {
+      case JInt(k, cc) =>
+        val e = if (j != null) s"CAST(${c.id} * $k + $cc + $j AS VARCHAR)"
+                else s"CAST(${c.id} * $k + $cc AS VARCHAR)"
+        (Seq((("j" +: path).mkString(":"), e)), None)
+      case JStr =>
+        val e = if (j != null) s"${c.str1} || '_' || $j" else c.str1
+        (Seq((("j" +: path).mkString(":"), e)), None)
+      case JObj(fields) =>
+        var arr: Option[(String, Int, Seq[(String, JNode)])] = None
+        val scalars = fields.flatMap { case (n, sub) =>
+          val (s, a) = shapeOracleCols(c, sub, path :+ n, j)
+          if (a.isDefined) arr = a
+          s
+        }
+        (scalars, arr)
+      case JArr(lenMod, elem) =>
+        (Nil, Some((("j" +: path).mkString(":"), lenMod, elem)))
+    }
+
+  private def shapeQuery(c: ShapeCase)(s: SparkSession, dir: String): DataFrame = {
+    val base = filtersOn(s, dir, c.t, c.fs).toDF
+    val payload = to_json(shapeCol(c, c.tree, -1))
+    val df = base.select(col(c.id), payload.as("payload"))
+    val flat = graft.core.JsonFlattener.explodeJson(df, "payload", "j")
+    val (_, arr) = shapeOracleCols(c, c.tree, Nil, null)
+    arr match {
+      case Some((p, _, _)) =>
+        flat.orderBy(col(c.id), col(s"$p:__explode_json_index__"))
+      case None => flat.orderBy(col(c.id))
+    }
+  }
+
+  private def shapeOracle(c: ShapeCase): String = {
+    val where =
+      if (c.fs.isEmpty) "" else s" WHERE ${c.fs.map(_.sql).mkString(" AND ")}"
+    // scalars OUTSIDE the array never shift by position: walk with j=null
+    val (scalars, arr) = shapeOracleCols(c, c.tree, Nil, null)
+    def q(n: String) = "\"" + n + "\""
+    arr match {
+      case None =>
+        val sel = scalars.map { case (n, e) => s"$e AS ${q(n)}" }
+        s"""SELECT ${c.id}, ${sel.mkString(", ")}
+            FROM ${c.t.name}$where ORDER BY ${c.id}"""
+      case Some((p, lenMod, elem)) =>
+        val sel = scalars.map { case (n, e) => s"$e AS ${q(n)}" }
+        val elemSel = elem.flatMap { case (n, leaf) =>
+          shapeOracleCols(c, leaf, Nil, "r.range")._1.map { case (_, e) =>
+            s"$e AS ${q(s"$p:$n")}" }
+        }
+        s"""WITH e AS (SELECT ${c.id}, ${c.str1},
+                              CAST(${c.id} % $lenMod + 1 AS INT) AS l
+                       FROM ${c.t.name}$where)
+            SELECT ${c.id}, ${sel.mkString(", ")},
+                   l AS ${q(s"$p:__explode_json_len__")},
+                   CAST(r.range AS INT) AS ${q(s"$p:__explode_json_index__")},
+                   ${elemSel.mkString(", ")}
+            FROM e JOIN range(0, ${lenMod + 1}) r ON r.range < l
+            ORDER BY ${c.id}, ${q(s"$p:__explode_json_index__")}"""
+    }
+  }
 
   private val explodePipelines: Seq[ExplodeCase] = {
     val rnd = new scala.util.Random(767676L)
@@ -1547,6 +1710,8 @@ object FuzzQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    shapePipelines.map(c => c.name ->
+      ((s: SparkSession, dir: String) => shapeQuery(c)(s, dir))).toMap ++
     explodePipelines.map(c => c.name ->
       ((s: SparkSession, dir: String) => explodeQuery(c)(s, dir))).toMap ++
     rangePipelines.map(c => c.name ->
@@ -1620,6 +1785,7 @@ object FuzzQueries {
     }.toMap
 
   def oracleSql: Map[String, String] =
+    shapePipelines.map(c => c.name -> shapeOracle(c)).toMap ++
     explodePipelines.map(c => c.name -> explodeOracle(c)).toMap ++
     rangePipelines.map(c => c.name -> rangeOracle(c)).toMap ++
     sketchPipelines.map(c => c.name -> sketchOracle(c)).toMap ++
