@@ -33,7 +33,109 @@ object ColumnOpsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ===== reorder / reverse_reorder (round 11: upgraded from spec-only
+    // to oracle-gated): the driver compare sorts columns by NAME, so
+    // column order is encoded into a VALUE — a csv of each row in the
+    // post-reorder column order. A wrong order changes the csv. =====
+    "q_reorder" -> ((s, dir) => {
+      val front = XDF(t(s, dir, "nation")).reorder("n_regionkey")
+      val back = XDF(t(s, dir, "nation")).reverseReorder("n_nationkey")
+      val fcsv = concat_ws(",", front.getHeader.map(c => col(c).cast(StringType)): _*)
+      val bcsv = concat_ws(",", back.getHeader.map(c => col(c).cast(StringType)): _*)
+      front.toDF.select(col("n_nationkey"), fcsv.as("front_csv"))
+        .join(back.toDF.select(col("n_nationkey"), bcsv.as("back_csv")),
+          Seq("n_nationkey"))
+        .orderBy("n_nationkey")
+    }),
 
+    // ===== assign_value: constant overwrite of an existing column =====
+    "q_assign_value" -> ((s, dir) =>
+      XDF(t(s, dir, "region")).assignValue("r_name", "REDACTED")
+        .sort(Seq("r_regionkey")).toDF),
+
+    // ===== is_nonzero_int / is_nonzero_float: int(float(x)) != 0
+    // semantics on a derived signed column =====
+    "q_is_nonzero" -> ((s, dir) =>
+      XDF(t(s, dir, "lineitem")
+          .withColumn("qdev", col("l_quantity") - 25))
+        .isNonzeroInt("qdev").isNonzeroFloat("l_tax")
+        .select("l_orderkey", "l_linenumber", "qdev", "l_tax")
+        .sort(Seq("l_orderkey", "l_linenumber", "qdev", "l_tax")).toDF),
+
+    // ===== startswith / endswith ± not (reference dataframe.py prefix
+    // predicates): chained on a string column AND a numeric column to
+    // pin the cast-to-string semantics (startswith("p_partkey","1")
+    // means the RENDERED key starts with '1') =====
+    "q_startswith" -> ((s, dir) =>
+      XDF(t(s, dir, "part"))
+        .startswith("p_type", "STANDARD")
+        .notEndswith("p_brand", "3")
+        .startswith("p_partkey", "1")
+        .select("p_partkey", "p_type", "p_brand")
+        .sort(Seq("p_partkey")).toDF),
+
+    // ===== flatmap: per-row list fan-out from a Column expression
+    // (Reshape.flatmapCol = one explode, no driver loop); oracle is
+    // DuckDB unnest over the same split =====
+    "q_flatmap" -> ((s, dir) =>
+      Reshape.flatmapCol(
+          t(s, dir, "part").select("p_partkey", "p_type"),
+          split(col("p_type"), " "), "word")
+        .select("p_partkey", "word")
+        .orderBy("p_partkey", "word")),
+
+    // ===== get_max_size_cols_stats: per-column max rendered length,
+    // computed by ONE Spark agg pass (Display.maxSizeColsStats), result
+    // re-lifted to a frame; sorted by name for a total order (the
+    // reference's by-size order ties arbitrarily) =====
+    "q_col_stats" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val stats = graft.core.Display.maxSizeColsStats(src, topN = 3)
+        .sortBy(_._1)
+      import s.implicits._
+      stats.toDF("col_name", "max_len")
+        .withColumn("max_len", col("max_len").cast(LongType))
+        .orderBy("col_name")
+    }),
+
+    // ===== select_cols_with_cond_exists (round 11: upgraded from
+    // spec-only): keep columns where ANY value matches — the surviving
+    // header is the result, re-lifted as rows so the oracle re-derives
+    // each column's existence check from the SOURCE data =====
+    "q_select_cols_cond" -> ((s, dir) => {
+      val kept = XDF(t(s, dir, "nation"))
+        .selectColsWithCondExists(c =>
+          c.cast(StringType).rlike("EGYPT|^1[0-9]$"))
+      import s.implicits._
+      kept.getHeader.sorted.toDF("kept_col")
+    }),
+
+    // ===== first_value_with_default_if_missing (driver-side scalar by
+    // contract, dataframe.py:5383-5393): first row of a SORTED frame,
+    // plus the default on an empty frame; re-lifted to one row =====
+    "q_first_value_default" -> ((s, dir) => {
+      val first = XDF(t(s, dir, "region").orderBy("r_regionkey"))
+        .firstValueWithDefault("r_name", "none")
+      val onEmpty = XDF(t(s, dir, "region").where(lit(false)))
+        .firstValueWithDefault("r_name", "none")
+      import s.implicits._
+      Seq((first, onEmpty)).toDF("first_name", "empty_default")
+    }),
+
+    // ===== resolve_all_url_encoded_cols (dataframe.py:2271-2292):
+    // auto-detect `:url_encoded` columns, decode in place, strip the
+    // suffix; non-suffixed columns untouched. Round-trip through the
+    // engine's own encoder; the codec convention itself is pinned
+    // separately by q_url_codec =====
+    "q_resolve_url_enc" -> ((s, dir) =>
+      XDF(t(s, dir, "part").select(
+          col("p_partkey"),
+          url_encode(col("p_name")).as("p_name:url_encoded"),
+          url_encode(col("p_type")).as("p_type:url_encoded"),
+          col("p_brand").as("plain")))
+        .resolveAllUrlEncodedCols()
+        .sort(Seq("p_partkey")).toDF),
 
     // ===== array_matches / array_value_exists: keep rows where ANY
     // slot[i] carries the value — one OR-folded codegen'd predicate =====
@@ -273,6 +375,74 @@ object ColumnOpsQueries {
 
   def oracleSql: Map[String, String] = Map(
 
+    // column order is encoded in the csv values: front = reorder
+    // (n_regionkey first), back = reverse_reorder (n_nationkey last)
+    "q_reorder" ->
+      """SELECT n_nationkey,
+                n_regionkey || ',' || n_nationkey || ',' || n_name AS front_csv,
+                n_name || ',' || n_regionkey || ',' || n_nationkey AS back_csv
+         FROM nation ORDER BY n_nationkey""",
+
+    "q_assign_value" ->
+      """SELECT r_regionkey, 'REDACTED' AS r_name FROM region
+         ORDER BY r_regionkey""",
+
+    "q_is_nonzero" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity - 25 AS qdev, l_tax
+         FROM lineitem
+         WHERE CAST(CAST(l_quantity - 25 AS DOUBLE) AS BIGINT) <> 0
+           AND l_tax <> 0.0
+         ORDER BY l_orderkey, l_linenumber, qdev, l_tax""",
+
+    "q_startswith" ->
+      """SELECT p_partkey, p_type, p_brand FROM part
+         WHERE p_type LIKE 'STANDARD%'
+           AND p_brand NOT LIKE '%3'
+           AND CAST(p_partkey AS VARCHAR) LIKE '1%'
+         ORDER BY p_partkey""",
+
+    "q_flatmap" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+         FROM part ORDER BY p_partkey, word""",
+
+    "q_col_stats" ->
+      """SELECT col_name, max_len FROM (
+           SELECT 'c_custkey' AS col_name,
+                  CAST(max(length(CAST(c_custkey AS VARCHAR))) AS BIGINT) AS max_len
+           FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', CAST(max(length(c_mktsegment)) AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT 'c_name', CAST(max(length(c_name)) AS BIGINT) FROM customer)
+         ORDER BY col_name""",
+
+    // the oracle re-derives each column's survival from the source data
+    // with the same pattern (rlike = unanchored regex search, like
+    // DuckDB regexp_matches)
+    "q_select_cols_cond" ->
+      """SELECT kept_col FROM (
+           SELECT 'n_nationkey' AS kept_col WHERE EXISTS(
+             SELECT 1 FROM nation
+             WHERE regexp_matches(CAST(n_nationkey AS VARCHAR), 'EGYPT|^1[0-9]$'))
+           UNION ALL
+           SELECT 'n_name' WHERE EXISTS(
+             SELECT 1 FROM nation
+             WHERE regexp_matches(n_name, 'EGYPT|^1[0-9]$'))
+           UNION ALL
+           SELECT 'n_regionkey' WHERE EXISTS(
+             SELECT 1 FROM nation
+             WHERE regexp_matches(CAST(n_regionkey AS VARCHAR), 'EGYPT|^1[0-9]$')))
+         ORDER BY kept_col""",
+
+    "q_first_value_default" ->
+      """SELECT (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1)
+                  AS first_name,
+                'none' AS empty_default""",
+
+    "q_resolve_url_enc" ->
+      """SELECT p_partkey, p_name, p_type, p_brand AS plain FROM part
+         ORDER BY p_partkey""",
 
     "q_array_matches" ->
       """SELECT o_orderkey,

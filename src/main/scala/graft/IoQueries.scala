@@ -52,6 +52,29 @@ object IoQueries {
         .orderBy(col("n_nationkey").cast("long"))
     }),
 
+    // `.tsv.zip` round-trip (round 11: upgraded from spec-only): zip
+    // isn't a Spark codec, so the read decompresses via binaryFiles on
+    // executors. The fixture zips TsvIO.write's own part files as
+    // separate entries — the reference's multi-entry layout, each entry
+    // carrying its own header line.
+    "q_tsv_zip_roundtrip" -> ((s, dir) => {
+      val out = graft.core.TempDirs.scratch("graft_tsvzip")
+      graft.sources.TsvIO.write(t(s, dir, "nation"), s"$out/plain")
+      val parts = new java.io.File(s"$out/plain").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length > 0)
+        .sortBy(_.getName)
+      val zipPath = s"$out/nation.tsv.zip"
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipPath))
+      try parts.zipWithIndex.foreach { case (f, i) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(s"entry_$i.tsv"))
+        zos.write(java.nio.file.Files.readAllBytes(f.toPath))
+        zos.closeEntry()
+      } finally zos.close()
+      graft.sources.TsvIO.readZip(s, zipPath)
+        .orderBy(col("n_nationkey").cast("long"))
+    }),
+
 
 
     // JSON-lines directory -> 1-col `json` frame (reference
@@ -73,6 +96,15 @@ object IoQueries {
         Map("a" -> "1", "b" -> "x"),
         Map("b" -> "y", "c" -> "z"),
         Map("a" -> "2", "c" -> "w"))).toDF.orderBy("a", "b", "c")),
+
+    // ===== cols_as_map (round 11: upgraded from spec-only): the
+    // driver-side Map bridge, re-lifted to a frame so the oracle
+    // value-checks every (key, stringified value) pair =====
+    "q_cols_as_map" -> ((s, dir) => {
+      val m = XDF(t(s, dir, "nation")).colsAsMap("n_name", "n_nationkey")
+      import s.implicits._
+      m.toSeq.toDF("k", "v").orderBy("k")
+    }),
 
 
 
@@ -163,6 +195,11 @@ object IoQueries {
                 CAST(n_regionkey AS VARCHAR) AS n_regionkey
          FROM nation ORDER BY n_nationkey::BIGINT""",
 
+    "q_tsv_zip_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+                CAST(n_regionkey AS VARCHAR) AS n_regionkey
+         FROM nation ORDER BY n_nationkey::BIGINT""",
+
 
 
     "q_read_json_dir" ->
@@ -177,6 +214,10 @@ object IoQueries {
            UNION ALL SELECT '', 'y', 'z'
            UNION ALL SELECT '2', '', 'w')
          ORDER BY a, b, c""",
+
+    "q_cols_as_map" ->
+      """SELECT n_name AS k, CAST(n_nationkey AS VARCHAR) AS v
+         FROM nation ORDER BY k""",
 
 
 
