@@ -137,6 +137,35 @@ object ColumnOpsQueries {
         .resolveAllUrlEncodedCols()
         .sort(Seq("p_partkey")).toDF),
 
+    // ===== lenient time-parse format matrix: every wire format of the
+    // TimeFuncs cascade (reference timefuncs.py:7-81 trial list) plus
+    // epoch-seconds strings, rendered from events.ts and parsed back.
+    // The oracle re-derives each recovered epoch with the truncation
+    // that format can carry (second / minute / day), so a cascade entry
+    // matching the WRONG format (e.g. the minute format swallowing a
+    // seconds string) shifts a whole column and fails =====
+    "q_time_parse_matrix" -> ((s, dir) => {
+      val fmts = Seq(
+        "f_iso_us" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "f_iso" -> "yyyy-MM-dd'T'HH:mm:ss",
+        "f_sql_us" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "f_sql" -> "yyyy-MM-dd HH:mm:ss",
+        "f_min" -> "yyyy-MM-dd HH:mm",
+        "f_date" -> "yyyy-MM-dd",
+        "f_compact" -> "yyyyMMdd",
+        "f_us_full" -> "MM/dd/yyyy HH:mm:ss",
+        "f_us_date" -> "MM/dd/yyyy")
+      val base = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val parsed = fmts.foldLeft(base) { case (d, (n, f)) =>
+        d.withColumn(n,
+          TimeFuncs.datetimeToUtcTimestampSec(date_format(col("ts"), f)))
+      }.withColumn("f_epoch", TimeFuncs.datetimeToUtcTimestampSec(
+        unix_timestamp(col("ts")).cast(StringType)))
+      parsed.select((Seq("event_id") ++ fmts.map(_._1) :+ "f_epoch")
+          .map(col): _*)
+        .orderBy("event_id")
+    }),
+
     // ===== array_matches / array_value_exists: keep rows where ANY
     // slot[i] carries the value — one OR-folded codegen'd predicate =====
     "q_array_matches" -> ((s, dir) =>
@@ -443,6 +472,23 @@ object ColumnOpsQueries {
     "q_resolve_url_enc" ->
       """SELECT p_partkey, p_name, p_type, p_brand AS plain FROM part
          ORDER BY p_partkey""",
+
+    // per-format truncation: sub-second formats floor to the second
+    // (unix_timestamp returns whole seconds), minute format to the
+    // minute, date formats to the day
+    "q_time_parse_matrix" ->
+      """SELECT event_id,
+                epoch(date_trunc('second', ts))::BIGINT AS f_iso_us,
+                epoch(date_trunc('second', ts))::BIGINT AS f_iso,
+                epoch(date_trunc('second', ts))::BIGINT AS f_sql_us,
+                epoch(date_trunc('second', ts))::BIGINT AS f_sql,
+                epoch(date_trunc('minute', ts))::BIGINT AS f_min,
+                epoch(date_trunc('day', ts))::BIGINT AS f_date,
+                epoch(date_trunc('day', ts))::BIGINT AS f_compact,
+                epoch(date_trunc('second', ts))::BIGINT AS f_us_full,
+                epoch(date_trunc('day', ts))::BIGINT AS f_us_date,
+                epoch(date_trunc('second', ts))::BIGINT AS f_epoch
+         FROM events ORDER BY event_id""",
 
     "q_array_matches" ->
       """SELECT o_orderkey,
