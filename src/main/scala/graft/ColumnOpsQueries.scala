@@ -166,6 +166,53 @@ object ColumnOpsQueries {
         .orderBy("event_id")
     }),
 
+    // ===== AggRegistry numeric long tail (sum/sumint/mean/median/
+    // quantile10/get_range_int — the registry paths q_agg_funcs and
+    // q_agg_quantile don't reach). Floating sums are rounded: at sf1 a
+    // 2M-row double sum is order-dependent in the last bits on BOTH
+    // engines =====
+    "q_agg_registry_num" -> ((s, dir) =>
+      // sum on l_quantity: integer-valued doubles, so the float sum is
+      // EXACT at any SF (an l_extendedprice sum would be order-dependent
+      // in the last bits on both engines at sf1)
+      XDF(t(s, dir, "lineitem"))
+        .aggregate(Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_quantity", "l_quantity"),
+          Seq("sum", "sumint", "mean", "get_range_int", "median",
+            "quantile10"))
+        .transform("l_quantity:mean", round(col("l_quantity:mean"), 6))
+        .sort(Seq("l_returnflag")).toDF),
+
+    // ===== AggRegistry string long tail (sorted_mkstr / merge_uniq /
+    // uniq_len / get_non_empty_len / minstr / maxstr) on nation's
+    // fixed-size groups; merge_uniq and uniq_len see comma-joined cells
+    // (the reference's split-merge semantics), get_non_empty_len sees
+    // planted empties =====
+    "q_agg_registry_str" -> ((s, dir) =>
+      XDF(t(s, dir, "nation")
+          .withColumn("csv",
+            concat(col("n_name"), lit(","), substring(col("n_name"), 1, 1)))
+          .withColumn("maybe_empty",
+            when(col("n_nationkey") % 3 === 0, lit("")).otherwise(col("n_name"))))
+        .aggregate(Seq("n_regionkey"),
+          Seq("n_name", "csv", "csv", "maybe_empty", "n_name", "n_name"),
+          Seq("sorted_mkstr", "merge_uniq", "uniq_len", "get_non_empty_len",
+            "minstr", "maxstr"))
+        .transform("csv:uniq_len", col("csv:uniq_len").cast(LongType))
+        .sort(Seq("n_regionkey")).toDF),
+
+    // ===== AggRegistry order-dependent funcs (first/last/mkstr/mkstr4f)
+    // pinned on single-row groups — the one shape where the reference's
+    // row-order semantics are engine-independent; mkstr4f pins the %.4f
+    // rendering =====
+    "q_agg_registry_row" -> ((s, dir) =>
+      XDF(t(s, dir, "nation"))
+        .aggregate(Seq("n_nationkey"),
+          Seq("n_name", "n_name", "n_name", "n_regionkey"),
+          Seq("first", "last", "mkstr", "mkstr4f"))
+        .sort(Seq("n_nationkey")).toDF),
+
     // ===== array_matches / array_value_exists: keep rows where ANY
     // slot[i] carries the value — one OR-folded codegen'd predicate =====
     "q_array_matches" -> ((s, dir) =>
@@ -489,6 +536,52 @@ object ColumnOpsQueries {
                 epoch(date_trunc('day', ts))::BIGINT AS f_us_date,
                 epoch(date_trunc('second', ts))::BIGINT AS f_epoch
          FROM events ORDER BY event_id""",
+
+    // sumint truncates EACH value toward zero before summing (the
+    // reference's int(float(x)) per cell), not the final sum
+    "q_agg_registry_num" ->
+      """SELECT l_returnflag,
+                CAST(sum(l_quantity) AS DOUBLE) AS "l_quantity:sum",
+                CAST(sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT)
+                  AS "l_extendedprice:sumint",
+                round(avg(l_quantity), 6) AS "l_quantity:mean",
+                CAST(max(l_orderkey) - min(l_orderkey) AS BIGINT)
+                  AS "l_orderkey:get_range_int",
+                CAST(median(l_quantity) AS DOUBLE) AS "l_quantity:median",
+                array_to_string(quantile_cont(l_quantity,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), ',')
+                  AS "l_quantity:quantile10"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_registry_str" ->
+      """WITH src AS (
+           SELECT n_regionkey, n_name,
+                  n_name || ',' || substr(n_name, 1, 1) AS csv,
+                  CASE WHEN n_nationkey % 3 = 0 THEN '' ELSE n_name END
+                    AS maybe_empty
+           FROM nation)
+         SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name)
+                  AS "n_name:sorted_mkstr",
+                array_to_string(list_sort(list_distinct(
+                  flatten(list(string_split(csv, ','))))), ',')
+                  AS "csv:merge_uniq",
+                CAST(len(list_distinct(flatten(list(string_split(csv, ',')))))
+                  AS BIGINT) AS "csv:uniq_len",
+                CAST(count(*) FILTER (WHERE maybe_empty <> '') AS BIGINT)
+                  AS "maybe_empty:get_non_empty_len",
+                min(n_name) AS "n_name:minstr",
+                max(n_name) AS "n_name:maxstr"
+         FROM src GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q_agg_registry_row" ->
+      """SELECT n_nationkey,
+                n_name AS "n_name:first",
+                n_name AS "n_name:last",
+                n_name AS "n_name:mkstr",
+                printf('%.4f', CAST(n_regionkey AS DOUBLE))
+                  AS "n_regionkey:mkstr4f"
+         FROM nation ORDER BY n_nationkey""",
 
     "q_array_matches" ->
       """SELECT o_orderkey,
