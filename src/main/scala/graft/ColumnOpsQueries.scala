@@ -447,6 +447,30 @@ object ColumnOpsQueries {
         .withColumn("sec", TimeFuncs.durationToSec(col("dur")))
         .withColumn("rel", TimeFuncs.displayRelativeTime(col("sec")))
         .select("k", "dur", "sec", "rel").orderBy("k")),
+
+    // ===== duration grammar partials: q_duration_roundtrip always
+    // carries d+h+m; this gate cycles the four PARTIAL shapes the
+    // reference grammar admits ("NdNh", "NhNm", "NmNs", "Ns") so absent
+    // units parse as 0 and the `s` unit — previously unexercised — is
+    // pinned =====
+    "q_duration_grammar" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").cast(LongType).as("k"))
+        .withColumn("d", pmod(col("k"), lit(3)).cast(StringType))
+        .withColumn("h", pmod(col("k"), lit(24)).cast(StringType))
+        .withColumn("m", pmod(col("k"), lit(60)).cast(StringType))
+        .withColumn("sv", pmod(col("k") * 7, lit(60)).cast(StringType))
+      base.withColumn("dur",
+          when(pmod(col("k"), lit(4)) === 0,
+            concat(col("d"), lit("d"), col("h"), lit("h")))
+          .when(pmod(col("k"), lit(4)) === 1,
+            concat(col("h"), lit("h"), col("m"), lit("m")))
+          .when(pmod(col("k"), lit(4)) === 2,
+            concat(col("m"), lit("m"), col("sv"), lit("s")))
+          .otherwise(concat(col("sv"), lit("s"))))
+        .withColumn("sec", TimeFuncs.durationToSec(col("dur")))
+        .select("k", "dur", "sec").orderBy("k")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -573,6 +597,23 @@ object ColumnOpsQueries {
                 min(n_name) AS "n_name:minstr",
                 max(n_name) AS "n_name:maxstr"
          FROM src GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q_duration_grammar" ->
+      """WITH b AS (SELECT o_orderkey::BIGINT AS k FROM orders),
+         p AS (SELECT k, k % 3 AS d, k % 24 AS h, k % 60 AS m,
+                      (k * 7) % 60 AS sv
+               FROM b),
+         g AS (SELECT k,
+                 CASE WHEN k % 4 = 0 THEN d::VARCHAR || 'd' || h::VARCHAR || 'h'
+                      WHEN k % 4 = 1 THEN h::VARCHAR || 'h' || m::VARCHAR || 'm'
+                      WHEN k % 4 = 2 THEN m::VARCHAR || 'm' || sv::VARCHAR || 's'
+                      ELSE sv::VARCHAR || 's' END AS dur,
+                 CASE WHEN k % 4 = 0 THEN d * 86400 + h * 3600
+                      WHEN k % 4 = 1 THEN h * 3600 + m * 60
+                      WHEN k % 4 = 2 THEN m * 60 + sv
+                      ELSE sv END AS sec
+               FROM p)
+         SELECT k, dur, sec FROM g ORDER BY k""",
 
     "q_agg_registry_row" ->
       """SELECT n_nationkey,
