@@ -88,9 +88,18 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // per-query times print LAST in the line: the driver's capture keeps
-    // a truncated line's TAIL, so the queries map is what must survive
+    // full line first (humans + logs keep every per-query time)...
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"rows":$rows,"queries":$qs}""")
+    // ...then a COMPACT summary as the last JSON on stdout: the driver
+    // keeps only a ~2 kB tail of output, which through round 11 sliced
+    // the big line mid-JSON (parsed: null). This line is a few hundred
+    // bytes, so the tail always contains one complete object; the
+    // per-query map lives in the big line and the SPARK_GRAFT_BENCH_OUT
+    // file artifact.
+    val slowest = results.filter(_._3 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

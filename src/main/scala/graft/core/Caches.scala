@@ -26,21 +26,44 @@ import org.apache.spark.sql.DataFrame
  */
 object Caches {
 
-  /** One query's tracked persists; [[release]] unpersists exactly these. */
-  final class Scope private[Caches] () {
+  /** One query's tracked persists; [[release]] unpersists exactly these.
+    *
+    * A scope is CLOSED once its `scoped` body exits. Closing matters for
+    * pooled threads: `active` is inheritable, copied at thread CREATION,
+    * so a worker thread a query's body spawned into a long-lived pool
+    * still references that query's scope when a LATER query reuses the
+    * pool. Without the closed flag, frames tracked there after the
+    * owner's exit landed in a scope nothing would ever release again — a
+    * silent session-lifetime pin. With it, `add` on a closed scope falls
+    * through to the process-global scope (drained by any bare
+    * [[Caches.release]]), the pre-scoping behavior. */
+  final class Scope private[Caches] (fallback: Scope) {
     private val tracked =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    private[Caches] def add(df: DataFrame): Unit = tracked.add(df)
-    def release(): Unit = {
+    @volatile private var closed = false
+    private[Caches] def add(df: DataFrame): Unit =
+      if (closed) fallback.add(df)
+      else {
+        tracked.add(df)
+        // `closed` may flip between the check and the enqueue; close()
+        // drains AFTER setting the flag, but a frame enqueued after that
+        // drain would be stranded — hand the lost race to the fallback
+        if (closed && tracked.remove(df)) fallback.add(df)
+      }
+    private def drain(): Unit = {
       var d = tracked.poll()
       while (d != null) { d.unpersist(false); d = tracked.poll() }
     }
+    private[Caches] def close(): Unit = { closed = true; drain() }
+    def release(): Unit = drain()
   }
 
-  private val global = new Scope
+  // the global scope is never closed, so its `add` never recurses into a
+  // fallback — `null` is unreachable
+  private val global = new Scope(null)
   // Inheritable so a scope opened on a driver thread covers any worker
-  // threads the body itself spawns; Spark's own (pre-existing, pooled)
-  // threads never call track — it is driver-side plan-construction code.
+  // threads the body itself spawns; a pooled thread that OUTLIVES the
+  // scope is handled by the closed-scope fallback above.
   private val active = new InheritableThreadLocal[Scope] {
     override def initialValue(): Scope = global
   }
@@ -56,9 +79,12 @@ object Caches {
     * double scan the persist exists to avoid. */
   def scoped[T](body: => T): T = {
     val prev = active.get
-    val s = new Scope
+    val s = new Scope(global)
     active.set(s)
-    try body finally { active.set(prev); s.release() }
+    // close (not just release): pooled threads created inside `body`
+    // inherit `s` forever — closing redirects their later tracks to the
+    // global scope instead of pinning frames in a dead scope
+    try body finally { active.set(prev); s.close() }
   }
 
   /** Release the calling thread's active scope (the global scope if none

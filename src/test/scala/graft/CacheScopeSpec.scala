@@ -53,6 +53,38 @@ class CacheScopeSpec extends SparkTestBase {
     assert(dfB.storageLevel == StorageLevel.NONE, "B released at ITS scope exit")
   }
 
+  test("pooled thread outliving its creating scope: track falls through to global") {
+    // the round-11 latent hazard: `active` is an InheritableThreadLocal,
+    // copied at thread CREATION — a pool thread created inside scope A
+    // references A forever. Before the closed-scope fix, a track() on
+    // that thread AFTER A exited added the frame to a dead scope nothing
+    // would ever drain again (a silent session-lifetime pin). Now a
+    // closed scope hands the frame to the global scope, so a bare
+    // release() still frees it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      graft.core.Caches.scoped {
+        // force the pool's single thread into existence INSIDE scope A,
+        // so it inherits A as its active scope
+        pool.submit(new Runnable { def run(): Unit = () }).get()
+      }
+      // scope A is closed and drained; reuse the same pool thread for a
+      // "later query B" that tracks a persist
+      val df = spark.range(75).selectExpr("id as d").persist()
+      pool.submit(new Runnable {
+        def run(): Unit = graft.core.Caches.track(df).count()
+      }).get()
+      assert(df.storageLevel != StorageLevel.NONE, "pinned after track")
+      // bare release on a thread with no open scope drains the GLOBAL
+      // scope — which is where the closed-scope fallback must have put B's
+      // frame (pre-fix it sat in dead scope A and stayed pinned forever)
+      graft.core.Caches.release()
+      assert(df.storageLevel == StorageLevel.NONE,
+        "frame tracked on a pooled thread after its scope closed must fall " +
+          "through to the global scope, not pin in the dead scope")
+    } finally pool.shutdown()
+  }
+
   test("track outside any scope falls back to the global scope + bare release") {
     val df = spark.range(50).selectExpr("id as c").persist()
     graft.core.Caches.track(df).count()

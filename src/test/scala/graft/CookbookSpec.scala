@@ -220,6 +220,9 @@ class CookbookSpec extends SparkTestBase {
       shingleSize = 3, numHashes = 12, bands = 4)
     // cookbook:end:dedup
     assert(near.count() <= exact.count())
+    // minhashDedup tracks its persisted gram frames; drain them so they
+    // don't stay pinned in the shared test session (matches dup-spans)
+    graft.core.Caches.release()
   }
 
   test("cookbook: decontaminate") {
@@ -232,6 +235,7 @@ class CookbookSpec extends SparkTestBase {
       evalSet, "text", n = 8, minMatches = 1)
     // cookbook:end:decontaminate
     assert(clean.count() < docs.count())
+    graft.core.Caches.release()
   }
 
   test("cookbook: ann-topk") {
