@@ -208,10 +208,58 @@ def check_ivf_topk(got):
     return None
 
 
+def check_agg_registry_approx(got):
+    """approx_uniq_count / approx_median with the sketches' own error
+    bounds (the last two AggRegistry funcs, approximate by contract).
+
+    - approx_count_distinct is HyperLogLog++ at the default rsd=0.05
+      (relative standard deviation). Bound: 4 sigma = 20% relative
+      (+2 absolute for tiny groups). A broken path returning e.g. the
+      group ROW count instead of the distinct count is ~2x off at every
+      SF (each order carries ~2-6 lineitems), far beyond the bound; an
+      honest estimate essentially never trips 4 sigma.
+    - percentile_approx at accuracy=10000 returns an actual dataset
+      element whose RANK is within n/10000 of the true median rank.
+      Bound: the exact DISCRETE quantile window
+      [quantile_disc(0.495), quantile_disc(0.505)] — rank-order
+      elements (quantile_cont would interpolate, which a returned
+      element can legitimately straddle), a +-0.5% rank window, 50x the
+      sketch's guarantee, still ~0 width vs a wrong-quantile bug.
+    """
+    exact = con.execute("""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS du,
+               quantile_disc(l_quantity, 0.495)      AS qlo,
+               quantile_disc(l_quantity, 0.505)      AS qhi,
+               quantile_disc(l_extendedprice, 0.495) AS plo,
+               quantile_disc(l_extendedprice, 0.505) AS phi
+        FROM lineitem GROUP BY l_returnflag""").fetchdf() \
+        .set_index("l_returnflag")
+    if sorted(got["l_returnflag"]) != sorted(exact.index):
+        return f"ROWS: groups {sorted(got['l_returnflag'])} != {sorted(exact.index)}"
+    eps = 1e-9
+    for _, r in got.iterrows():
+        e = exact.loc[r["l_returnflag"]]
+        au = float(r["l_orderkey:approx_uniq_count"])
+        if abs(au - e["du"]) > max(0.20 * e["du"], 2):
+            return (f"VALUES: approx_uniq_count {au} vs exact {e['du']} "
+                    f"({r['l_returnflag']}) outside the 4-sigma HLL bound")
+        qm = float(r["l_quantity:approx_median"])
+        if not (e["qlo"] - eps <= qm <= e["qhi"] + eps):
+            return (f"VALUES: l_quantity approx_median {qm} outside exact "
+                    f"rank window [{e['qlo']}, {e['qhi']}] ({r['l_returnflag']})")
+        pm = float(r["l_extendedprice:approx_median"])
+        if not (e["plo"] - eps <= pm <= e["phi"] + eps):
+            return (f"VALUES: l_extendedprice approx_median {pm} outside exact "
+                    f"rank window [{e['plo']}, {e['phi']}] ({r['l_returnflag']})")
+    return None
+
+
 SPECIAL = {
     "q_keyhash_mmh3": check_keyhash,
     "q_sample_n_replace": check_sample_n_replace,
     "q_sim_ivf_topk": check_ivf_topk,
+    "q_agg_registry_approx": check_agg_registry_approx,
 }
 for name, fn in sorted(SPECIAL.items()):
     if only is not None and not any(p in name for p in only):

@@ -213,6 +213,20 @@ object ColumnOpsQueries {
           Seq("first", "last", "mkstr", "mkstr4f"))
         .sort(Seq("n_nationkey")).toDF),
 
+    // ===== AggRegistry approximate funcs (round 12: closes the registry
+    // at 25/25 driver-visible checks). approx_uniq_count (HLL++,
+    // rsd 0.05) and approx_median (percentile_approx, accuracy 10000)
+    // have no exact SQL oracle by contract; scripts/check_oracle.py
+    // value-checks them against DuckDB exact counts/quantiles with the
+    // sketches' own error bounds (4-sigma on HLL rsd; a rank window 100x
+    // the GK guarantee) — same pattern as the IVF recall gate =====
+    "q_agg_registry_approx" -> ((s, dir) =>
+      XDF(t(s, dir, "lineitem"))
+        .aggregate(Seq("l_returnflag"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice"),
+          Seq("approx_uniq_count", "approx_median", "approx_median"))
+        .sort(Seq("l_returnflag")).toDF),
+
     // ===== array_matches / array_value_exists: keep rows where ANY
     // slot[i] carries the value — one OR-folded codegen'd predicate =====
     "q_array_matches" -> ((s, dir) =>
@@ -519,20 +533,15 @@ object ColumnOpsQueries {
 
     // the oracle re-derives each column's survival from the source data
     // with the same pattern (rlike = unanchored regex search, like
-    // DuckDB regexp_matches)
+    // DuckDB regexp_matches). Schema-DERIVED (round 12): UNPIVOT over
+    // COLUMNS(*) enumerates nation's columns from the parquet itself, so
+    // a column added to the fixture participates in the check without a
+    // hand-edit here (a hand enumeration could silently narrow the gate)
     "q_select_cols_cond" ->
-      """SELECT kept_col FROM (
-           SELECT 'n_nationkey' AS kept_col WHERE EXISTS(
-             SELECT 1 FROM nation
-             WHERE regexp_matches(CAST(n_nationkey AS VARCHAR), 'EGYPT|^1[0-9]$'))
-           UNION ALL
-           SELECT 'n_name' WHERE EXISTS(
-             SELECT 1 FROM nation
-             WHERE regexp_matches(n_name, 'EGYPT|^1[0-9]$'))
-           UNION ALL
-           SELECT 'n_regionkey' WHERE EXISTS(
-             SELECT 1 FROM nation
-             WHERE regexp_matches(CAST(n_regionkey AS VARCHAR), 'EGYPT|^1[0-9]$')))
+      """SELECT DISTINCT name AS kept_col
+         FROM (UNPIVOT (SELECT COLUMNS(*)::VARCHAR FROM nation)
+               ON COLUMNS(*) INTO NAME name VALUE value)
+         WHERE regexp_matches(value, 'EGYPT|^1[0-9]$')
          ORDER BY kept_col""",
 
     "q_first_value_default" ->

@@ -283,6 +283,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(ivf == exact) // probing every cell degenerates to exact search
   }
 
+  test("IVF with a sample-trained quantizer holds the gate's recall bound") {
+    // the documented 100 TB path (SCALE.md): fit the coarse quantizer on
+    // a corpus SAMPLE, never the full data. trainSample < 1 was the one
+    // path no gate or spec exercised (round-11 verdict item 4) — assert
+    // the q_sim_ivf_topk recall bound (0.85 vs brute-force top-3) holds
+    // at trainSample = 0.2 on the same fixture and index config.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(
+      e, queries, "vec_id", "embedding", "query_id", k = 3))
+    val sampled = pairs(Similarity.ivfTopK(
+      e, queries, "vec_id", "embedding", "query_id", k = 3,
+      nClusters = 8, nProbes = 4, trainSample = 0.2))
+    val recall = (sampled intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"sample-trained IVF recall $recall < 0.85")
+  }
+
   test("bfs levels tolerate cycles") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "target")

@@ -47,8 +47,9 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphanOracles.isEmpty,
       s"oracles with no query (typo in a name?): $orphanOracles")
     // the driver records rows-only for queries without SQL oracles;
-    // scripts/check_oracle.py value-checks exactly this trio
-    val valueChecked = Set("q_keyhash_mmh3", "q_sample_n_replace", "q_sim_ivf_topk")
+    // scripts/check_oracle.py value-checks exactly this quartet
+    val valueChecked = Set("q_keyhash_mmh3", "q_sample_n_replace",
+      "q_sim_ivf_topk", "q_agg_registry_approx")
     val unchecked = qs -- os -- valueChecked
     assert(unchecked.isEmpty,
       s"gates with neither a SQL oracle nor a registered value check: $unchecked")
