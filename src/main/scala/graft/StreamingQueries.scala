@@ -21,6 +21,24 @@ object StreamingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Start a streaming query with a small state-partition count. The
+    * number of state partitions is pinned from spark.sql.shuffle.partitions
+    * at the FIRST micro-batch, and each one costs a state-store init plus
+    * a per-batch commit — at gate scale (a few thousand keys) 32
+    * partitions is pure fixed overhead (~20% of each streaming gate's
+    * wall, measured round 12). Production streams size this knob to their
+    * key cardinality; only query START needs the override, so the session
+    * conf is restored immediately. Values are unaffected — this is
+    * parallelism, not semantics (the stream==batch law specs run the same
+    * operators unwrapped). */
+  private def startWithFewStatePartitions(
+      s: SparkSession)(start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -54,8 +72,10 @@ object StreamingQueries {
       val agged = streaming.StreamOps.windowedAggregate(stream, "ts",
         "1 hour", null, "1 minute", Seq("event_type"), Seq("value"), Seq("sum"))
       val qn = "q_stream_window_agg_sink"
-      val q = agged.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
+      val q = startWithFewStatePartitions(s) {
+        agged.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+      }
       // staged JSON only feeds the file source; free it once drained
       try q.processAllAvailable() finally {
         q.stop()
@@ -85,9 +105,11 @@ object StreamingQueries {
       val deduped = streaming.StreamOps.streamingDedup(stream, "ts",
         "10 minutes", Seq("event_type", "user_bucket"))
       val qn = "q_stream_dedup_sink"
-      val q = deduped.select("event_type", "user_bucket")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
+      val q = startWithFewStatePartitions(s) {
+        deduped.select("event_type", "user_bucket")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+      }
       try q.processAllAvailable() finally {
         q.stop()
         graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
@@ -141,8 +163,10 @@ object StreamingQueries {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), Sketches.hllEstimate(col("sk")).as("nd_users"))
       val qn = "q_stream_distinct_sink"
-      val q = agged.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
+      val q = startWithFewStatePartitions(s) {
+        agged.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+      }
       // the staged JSON exists only to feed the file source; once the
       // stream has drained into the memory sink the files are dead — a
       // fresh temp dir per invocation would otherwise accumulate a full
