@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Two-decade scale curve: per-query and per-family growth factors from
+three BENCH_FULL artifacts (sf0.1 -> sf1 -> sf10, 10x data per step).
+
+Usage: scale_curve.py <bench_sf01.json> <bench_sf1.json> <bench_sf10.json> [out.json]
+
+Only queries present in ALL THREE artifacts enter the curve (the sf10
+artifact is a subset run: the ~15 worst sf1 scalers + one representative
+per family). Prints a growth-ordered table and writes a JSON artifact
+with both decades per query plus per-family geomean growth.
+"""
+import sys, json, math
+
+FAMILIES = {
+    "span dedup (linear gram build)": ["q_dup_spans"],
+    "explode_json fuzz": ["q_fuzz_76", "q_fuzz_77"],
+    "multimodal decode": ["q_multimodal_features"],
+    "per-row JSON parse": ["q_filter_json_xpath"],
+    "row-linear output": ["q_agg_collapse_false", "q_explode_json_flat",
+                          "q_cumsum_global", "q_zorder_value",
+                          "q_text_token_count", "q_text_lang_id"],
+    "minhash/simhash dedup": ["q_dedup_simhash", "q_dedup_simhash_hamming",
+                              "q_dedup_minhash_lsh", "q_dedup_exact"],
+    "iterative CC / graph": ["q_graph_cc", "q_dedup_minhash_cc",
+                             "q_dedup_elect", "q_dedup_elect_str"],
+    "curation pipeline": ["q_curation_pipeline"],
+    "ANN topk": ["q_sim_bruteforce_topk", "q_sim_lsh_topk", "q_sim_ivf_topk"],
+    "streaming": ["q_stream_window_agg", "q_stream_dedup", "q_stream_distinct"],
+    "sketches (mergeable)": ["q_hll_distinct_union", "q_theta_overlap",
+                             "q_kll_quantiles"],
+    "core agg/join/window": ["q_agg_basic", "q_inner_join",
+                             "q_window_aggregate_ref", "q_topk_per_group"],
+    "range join": ["q_range_join_overlap"],
+    "sampling/mixing": ["q_weighted_sample", "q_sample_class_cap",
+                        "q_mix_by_source"],
+    "skew": ["q_salted_join", "q_skew_aqe_join"],
+    "fuzz (span)": ["q_fuzz_71"],
+    "packing": ["q_pack_greedy"],
+    "partition-pruned scan": ["q_etl_scan"],
+}
+
+
+def geomean(xs):
+    xs = [x for x in xs if x > 0]
+    return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else float("nan")
+
+
+def main():
+    a01, a1, a10 = (json.load(open(p))["queries"] for p in sys.argv[1:4])
+    common = sorted(set(a01) & set(a1) & set(a10))
+    rows = []
+    for q in common:
+        t01, t1, t10 = a01[q]["best"], a1[q]["best"], a10[q]["best"]
+        rows.append({"query": q, "sf01": round(t01, 3), "sf1": round(t1, 3),
+                     "sf10": round(t10, 3),
+                     "g_01_1": round(t1 / t01, 2), "g_1_10": round(t10 / t1, 2),
+                     "g_01_10": round(t10 / t01, 2)})
+    rows.sort(key=lambda r: -r["g_1_10"])
+    print(f"{'query':36s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
+          f"{'x(.1->1)':>9s} {'x(1->10)':>9s} {'x(100x)':>8s}")
+    for r in rows:
+        print(f"{r['query']:36s} {r['sf01']:7.2f} {r['sf1']:7.2f} "
+              f"{r['sf10']:8.2f} {r['g_01_1']:9.2f} {r['g_1_10']:9.2f} "
+              f"{r['g_01_10']:8.2f}")
+    by_q = {r["query"]: r for r in rows}
+    fams = {}
+    for fam, qs in FAMILIES.items():
+        got = [by_q[q] for q in qs if q in by_q]
+        if not got:
+            continue
+        fams[fam] = {
+            "queries": [r["query"] for r in got],
+            "geomean_g_01_1": round(geomean([r["g_01_1"] for r in got]), 2),
+            "geomean_g_1_10": round(geomean([r["g_1_10"] for r in got]), 2),
+            "geomean_g_01_10": round(geomean([r["g_01_10"] for r in got]), 2),
+        }
+    unassigned = [q for q in by_q if not any(q in qs for qs in FAMILIES.values())]
+    print("\nper-family geomean growth (sf0.1->sf1, sf1->sf10, 100x):")
+    for fam, f in sorted(fams.items(), key=lambda kv: -kv[1]["geomean_g_1_10"]):
+        print(f"  {fam:34s} {f['geomean_g_01_1']:6.2f} {f['geomean_g_1_10']:6.2f} "
+              f"{f['geomean_g_01_10']:7.2f}")
+    if unassigned:
+        print(f"\nunassigned (reported per-query only): {unassigned}")
+    tot = {k: round(sum(r[k] for r in rows), 1) for k in ("sf01", "sf1", "sf10")}
+    out = {"note": "best-of-pass wall seconds per query at three scale "
+                   "factors, 10x data per step; subset = worst sf1 scalers "
+                   "+ one representative per family",
+           "queries_in_curve": len(rows),
+           "subset_totals_sec": tot,
+           "subset_wall_growth": {
+               "g_01_1": round(tot["sf1"] / tot["sf01"], 2),
+               "g_1_10": round(tot["sf10"] / tot["sf1"], 2),
+               "g_01_10": round(tot["sf10"] / tot["sf01"], 2)},
+           "per_query": rows, "per_family": fams}
+    if len(sys.argv) > 4:
+        json.dump(out, open(sys.argv[4], "w"), indent=1)
+        print(f"\nwrote {sys.argv[4]}")
+
+
+if __name__ == "__main__":
+    main()

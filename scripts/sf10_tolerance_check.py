@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""sf10 value-proof for the three gates whose EXACT oracles cannot follow
+at 6M+ rows, each checked against its operator's own contract instead:
+
+  - q_cumsum_global / q_window_aggregate_ref: double sums are
+    order-dependent in the last bits on BOTH engines; at sf10 the
+    magnitudes (~1e11) push that past the gates' fixed rounding. Check:
+    every cell matches the DuckDB exact value within 1e-9 RELATIVE
+    (observed disagreement is ~1e-13; a wrong aggregation is >> 1e-9).
+  - q_kll_quantiles: KLL(k=8192) leaves its exact regime once a group
+    exceeds k items (~20k/group at sf10). Check: each reported quantile's
+    NORMALIZED RANK in the exact sorted multiset is within 0.005 of the
+    requested rank (theoretical one-sided bound at k=8192 is ~6e-4; a
+    wrong quantile/column is off by >= 0.25).
+
+Usage: sf10_tolerance_check.py <sfDir> <verifyOutDir>
+Exit 0 iff all three pass. Run AFTER check_oracle.py (which reports these
+three as VALUES mismatches at sf10 — expected).
+"""
+import sys, json, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+import glob
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+
+
+def rel_ok(a, b, tol=1e-9):
+    return abs(a - b) <= tol * max(abs(a), abs(b), 1.0)
+
+
+def check_relative(gate):
+    got = con.execute(f"SELECT * FROM '{out_dir}/{gate}/*.parquet'").fetchdf()
+    exp = con.execute(oracle[gate]).fetchdf()
+    got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+    assert list(got.columns) == list(exp.columns), f"{gate}: schema"
+    assert len(got) == len(exp) and len(got) > 0, f"{gate}: rows"
+    worst = 0.0
+    for c in got.columns:
+        for a, b in zip(got[c], exp[c]):
+            if isinstance(a, str) or isinstance(b, str):
+                assert f"{a}" == f"{b}", f"{gate}: {c} {a!r} != {b!r}"
+            else:
+                fa, fb = float(a), float(b)
+                assert rel_ok(fa, fb), f"{gate}: {c} {fa} vs {fb} beyond 1e-9"
+                worst = max(worst, abs(fa - fb) / max(abs(fa), abs(fb), 1.0))
+    return {"rows": len(got), "worst_relative_diff": worst, "bound": 1e-9}
+
+
+def check_kll_rank():
+    got = con.execute(
+        f"SELECT * FROM '{out_dir}/q_kll_quantiles/*.parquet'").fetchdf()
+    assert len(got) > 0, "q_kll_quantiles: empty"
+    worst = 0.0
+    for _, r in got.iterrows():
+        flag = r["l_returnflag"]
+        vals = con.execute(
+            """SELECT CAST(floor(l_extendedprice) AS DOUBLE) AS v
+               FROM lineitem
+               WHERE l_orderkey % 1009 = 0 AND l_returnflag = ?
+               ORDER BY v""", [flag]).fetchdf()["v"].to_numpy()
+        n = len(vals)
+        assert n == int(r["n_rows"]), f"{flag}: n {n} != {r['n_rows']}"
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            v = float(r[col])
+            # normalized rank of v (INCLUSIVE semantics: items <= v)
+            rank = (vals <= v).sum() / n
+            err = abs(rank - q)
+            assert err <= 0.005, \
+                f"{flag} {col}: value {v} has rank {rank:.5f}, err {err:.5f} > 0.005"
+            worst = max(worst, err)
+    return {"groups": len(got), "worst_rank_error": worst,
+            "bound": 0.005, "k": 8192}
+
+
+CHECKS = {
+    "q_cumsum_global": lambda: check_relative("q_cumsum_global"),
+    "q_window_aggregate_ref": lambda: check_relative("q_window_aggregate_ref"),
+    "q_kll_quantiles": check_kll_rank,
+}
+fail = 0
+for gate, fn in CHECKS.items():
+    try:
+        results[gate] = {"status": "pass", **fn()}
+        print(f"PASS {gate}: {results[gate]}")
+    except AssertionError as e:
+        results[gate] = {"status": "FAIL", "error": str(e)}
+        print(f"FAIL {gate}: {e}")
+        fail += 1
+print(json.dumps(results, default=float))
+sys.exit(1 if fail else 0)
