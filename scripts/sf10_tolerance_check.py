@@ -12,6 +12,15 @@ at 6M+ rows, each checked against its operator's own contract instead:
     NORMALIZED RANK in the exact sorted multiset is within 0.005 of the
     requested rank (theoretical one-sided bound at k=8192 is ~6e-4; a
     wrong quantile/column is off by >= 0.25).
+  - q_dedup_simhash_hamming: EXACT, via a value-level replay. The
+    committed oracle builds DOC-level probe edges (probes JOIN d ON
+    p = sh), which is O(dup^2) under sf10's 100-way duplicate clusters
+    (>90 GB in DuckDB). Doc connectivity depends only on the 16-bit
+    hash, so this check keeps the oracle's own simhash SQL (the `d` CTE,
+    verbatim) and replaces everything downstream with a union-find over
+    the <= 65,536 OCCUPIED HASH VALUES linked by the same probe masks —
+    linear in docs, quadratic only in the bounded value space. Survivor
+    set must match Spark's exactly.
 
 Usage: sf10_tolerance_check.py <sfDir> <verifyOutDir>
 Exit 0 iff all three pass. Run AFTER check_oracle.py (which reports these
@@ -78,10 +87,55 @@ def check_kll_rank():
             "bound": 0.005, "k": 8192}
 
 
+def check_simhash_hamming():
+    sql = oracle["q_dedup_simhash_hamming"]
+    cut = sql.index("probes AS")
+    # keep the oracle's own per-doc simhash derivation verbatim; swap the
+    # doc-level probe join + recursive closure for the value-level replay
+    doc_sh = con.execute(
+        sql[:cut].rstrip().rstrip(",") + " SELECT doc_id, sh FROM d").fetchdf()
+    # masks mirror the oracle's unnest list: identity + 16 single-bit flips
+    masks = [0] + [1 << i for i in range(16)]
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    occupied = set(doc_sh["sh"].astype(int))
+    for v in occupied:
+        parent.setdefault(v, v)
+    for v in occupied:
+        for m in masks:
+            w = v ^ m
+            if w in occupied:
+                ra, rb = find(v), find(w)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for d_id, sh in zip(doc_sh["doc_id"].astype(int), doc_sh["sh"].astype(int)):
+        r = find(sh)
+        comp_min[r] = min(comp_min.get(r, d_id), d_id)
+    expected = sorted(comp_min.values())
+    got = sorted(con.execute(
+        f"SELECT doc_id FROM '{out_dir}/q_dedup_simhash_hamming/*.parquet'"
+    ).fetchdf()["doc_id"].astype(int))
+    assert got == expected, (
+        f"survivor sets differ: {len(got)} spark vs {len(expected)} replay; "
+        f"first diffs {[p for p in zip(got, expected) if p[0] != p[1]][:3]}")
+    return {"survivors": len(got), "occupied_hash_values": len(occupied),
+            "replay": "value-level union-find, exact"}
+
+
 CHECKS = {
     "q_cumsum_global": lambda: check_relative("q_cumsum_global"),
     "q_window_aggregate_ref": lambda: check_relative("q_window_aggregate_ref"),
     "q_kll_quantiles": check_kll_rank,
+    "q_dedup_simhash_hamming": check_simhash_hamming,
 }
 fail = 0
 for gate, fn in CHECKS.items():
