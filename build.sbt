@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver keeps only a ~2 kB stdout tail of `sbt runMain graft.Bench`
+// and parses the last JSON line. With the default LoggedOutput strategy
+// sbt prefixes every forked-stdout line with "[info] " and appends a
+// "[success] Total time..." banner — both of which defeated the parse
+// through round 12. Route the forked JVM's stdout straight through and
+// drop the success banner so Bench's compact summary IS the final,
+// undecorated stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command layer, not a task — exclude it from
+// the unused-key lint so the warning doesn't land in the captured tail
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

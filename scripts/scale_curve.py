@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Two-decade scale curve: per-query and per-family growth factors from
-three BENCH_FULL artifacts (sf0.1 -> sf1 -> sf10, 10x data per step).
+"""Scale curve: per-query and per-family growth factors from BENCH_FULL
+artifacts at sf0.1 -> sf1 -> sf10 (10x data per step), optionally
+extended to a third decade (sf100) for the queries measured there.
 
-Usage: scale_curve.py <bench_sf01.json> <bench_sf1.json> <bench_sf10.json> [out.json]
+Usage: scale_curve.py <bench_sf01.json> <bench_sf1.json> <bench_sf10.json> \
+                      [out.json] [bench_sf100.json]
 
-Only queries present in ALL THREE artifacts enter the curve (the sf10
-artifact is a subset run: the ~15 worst sf1 scalers + one representative
-per family). Prints a growth-ordered table and writes a JSON artifact
-with both decades per query plus per-family geomean growth.
+Only queries present in the FIRST THREE artifacts enter the curve (the
+sf10 artifact is a subset run: the ~15 worst sf1 scalers + one
+representative per family); the sf100 columns are filled where that
+subset-of-a-subset was measured. Queries carrying Bench's fail sentinel
+(1e9) in ANY artifact are excluded and reported — a failed pass must
+error out of the curve, not poison geomeans.
 """
 import sys, json, math
 
@@ -45,23 +49,41 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else float("nan")
 
 
+FAIL_SENTINEL = 1e8  # Bench records 1e9 for a failed pass
+
+
 def main():
     a01, a1, a10 = (json.load(open(p))["queries"] for p in sys.argv[1:4])
+    a100 = json.load(open(sys.argv[5]))["queries"] if len(sys.argv) > 5 else {}
     common = sorted(set(a01) & set(a1) & set(a10))
-    rows = []
+    rows, dropped = [], []
     for q in common:
         t01, t1, t10 = a01[q]["best"], a1[q]["best"], a10[q]["best"]
-        rows.append({"query": q, "sf01": round(t01, 3), "sf1": round(t1, 3),
-                     "sf10": round(t10, 3),
-                     "g_01_1": round(t1 / t01, 2), "g_1_10": round(t10 / t1, 2),
-                     "g_01_10": round(t10 / t01, 2)})
+        t100 = a100[q]["best"] if q in a100 else None
+        if any(t is not None and t >= FAIL_SENTINEL
+               for t in (t01, t1, t10, t100)):
+            dropped.append(q)
+            continue
+        row = {"query": q, "sf01": round(t01, 3), "sf1": round(t1, 3),
+               "sf10": round(t10, 3),
+               "g_01_1": round(t1 / t01, 2), "g_1_10": round(t10 / t1, 2),
+               "g_01_10": round(t10 / t01, 2)}
+        if t100 is not None:
+            row["sf100"] = round(t100, 3)
+            row["g_10_100"] = round(t100 / t10, 2)
+        rows.append(row)
+    if dropped:
+        print(f"EXCLUDED (fail sentinel in some artifact): {dropped}")
     rows.sort(key=lambda r: -r["g_1_10"])
     print(f"{'query':36s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
-          f"{'x(.1->1)':>9s} {'x(1->10)':>9s} {'x(100x)':>8s}")
+          f"{'x(.1->1)':>9s} {'x(1->10)':>9s} {'x(100x)':>8s} "
+          f"{'sf100':>8s} {'x(10->100)':>10s}")
     for r in rows:
+        third = (f"{r['sf100']:8.2f} {r['g_10_100']:10.2f}"
+                 if "sf100" in r else f"{'-':>8s} {'-':>10s}")
         print(f"{r['query']:36s} {r['sf01']:7.2f} {r['sf1']:7.2f} "
               f"{r['sf10']:8.2f} {r['g_01_1']:9.2f} {r['g_1_10']:9.2f} "
-              f"{r['g_01_10']:8.2f}")
+              f"{r['g_01_10']:8.2f} {third}")
     by_q = {r["query"]: r for r in rows}
     fams = {}
     for fam, qs in FAMILIES.items():
@@ -74,6 +96,11 @@ def main():
             "geomean_g_1_10": round(geomean([r["g_1_10"] for r in got]), 2),
             "geomean_g_01_10": round(geomean([r["g_01_10"] for r in got]), 2),
         }
+        third = [r["g_10_100"] for r in got if "g_10_100" in r]
+        if third:
+            fams[fam]["geomean_g_10_100"] = round(geomean(third), 2)
+            fams[fam]["queries_at_sf100"] = [
+                r["query"] for r in got if "g_10_100" in r]
     unassigned = [q for q in by_q if not any(q in qs for qs in FAMILIES.values())]
     print("\nper-family geomean growth (sf0.1->sf1, sf1->sf10, 100x):")
     for fam, f in sorted(fams.items(), key=lambda kv: -kv[1]["geomean_g_1_10"]):
@@ -82,15 +109,25 @@ def main():
     if unassigned:
         print(f"\nunassigned (reported per-query only): {unassigned}")
     tot = {k: round(sum(r[k] for r in rows), 1) for k in ("sf01", "sf1", "sf10")}
-    out = {"note": "best-of-pass wall seconds per query at three scale "
-                   "factors, 10x data per step; subset = worst sf1 scalers "
-                   "+ one representative per family",
+    at100 = [r for r in rows if "sf100" in r]
+    if at100:
+        tot["sf100_subset"] = round(sum(r["sf100"] for r in at100), 1)
+        tot["sf10_of_sf100_subset"] = round(sum(r["sf10"] for r in at100), 1)
+    out = {"note": "best-of-pass wall seconds per query at three (four "
+                   "where measured) scale factors, 10x data per step; "
+                   "subset = worst sf1 scalers + one representative per "
+                   "family; sf100 columns only for the third-decade "
+                   "subset run",
            "queries_in_curve": len(rows),
+           "queries_at_sf100": len(at100),
+           "excluded_fail_sentinel": dropped,
            "subset_totals_sec": tot,
            "subset_wall_growth": {
                "g_01_1": round(tot["sf1"] / tot["sf01"], 2),
                "g_1_10": round(tot["sf10"] / tot["sf1"], 2),
-               "g_01_10": round(tot["sf10"] / tot["sf01"], 2)},
+               "g_01_10": round(tot["sf10"] / tot["sf01"], 2),
+               **({"g_10_100_subset": round(tot["sf100_subset"]
+                    / tot["sf10_of_sf100_subset"], 2)} if at100 else {})},
            "per_query": rows, "per_family": fams}
     if len(sys.argv) > 4:
         json.dump(out, open(sys.argv[4], "w"), indent=1)

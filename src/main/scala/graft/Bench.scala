@@ -25,6 +25,33 @@ object Bench {
     // JIT/codegen + scheduler warm-up so the first timed query doesn't
     // absorb session startup
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    // Optional per-query task-metrics capture (SPARK_GRAFT_TASK_METRICS=1):
+    // accumulates spill/shuffle bytes across all tasks so a superlinear
+    // grower can be attributed (e.g. sf100's 600M-row join across 32
+    // partitions spilling ~19M rows/partition) instead of guessed at.
+    // Listener delivery is async, so when enabled each query waits a
+    // beat AFTER its timing stops — the pause never enters the numbers.
+    val metricsEnabled = sys.env.get("SPARK_GRAFT_TASK_METRICS").contains("1")
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    if (metricsEnabled) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      })
+    // per-query metric deltas of the LAST pass (keyed after timing ends)
+    val taskMetrics =
+      scala.collection.mutable.Map.empty[String, Map[String, Long]]
     // failed pass records a sentinel so min() can never report a
     // fast-failure as a benchmark time
     val FailSentinel = 1e9
@@ -40,6 +67,7 @@ object Bench {
     def timeAll(): Seq[(String, (Double, Long))] =
       SparkEntry.queries.toSeq.filter(p => nameFilter(p._1))
         .sortBy(_._1).map { case (name, fn) =>
+        val m0 = (memSpill.get, diskSpill.get, shufWrite.get, shufRead.get)
         val t0 = System.nanoTime()
         // scoped: the query's operator persists are released when (and
         // only when) ITS action finishes — never another query's
@@ -48,7 +76,19 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
             -1L
         }
-        name -> (if (n >= 0) (System.nanoTime() - t0) / 1e9 else FailSentinel, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drain any frame a pooled thread tracked after its scope closed
+        // (falls through to the enclosing/global scope — see Caches)
+        graft.core.Caches.release()
+        if (metricsEnabled) {
+          Thread.sleep(500) // let the async listener bus drain
+          taskMetrics(name) = Map(
+            "mem_spill" -> (memSpill.get - m0._1),
+            "disk_spill" -> (diskSpill.get - m0._2),
+            "shuffle_write" -> (shufWrite.get - m0._3),
+            "shuffle_read" -> (shufRead.get - m0._4))
+        }
+        name -> (if (n >= 0) dt else FailSentinel, n)
       }
     // best of N passes (default 3): the first pass absorbs page-cache/JIT
     // warm-up noise, and recording every pass lets round-over-round trend
@@ -81,12 +121,22 @@ object Bench {
     // keeps every query's best time, rows, and all per-pass times so
     // per-query regressions can be diffed across rounds.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    // explicit ROOT locale: the f-interpolator uses the JVM default, and a
+    // comma-decimal locale would turn these fixed-point fields into
+    // invalid JSON
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val perQuery = results.map { case (k, best, n, times) =>
       val spread = if (times.min > 0) (times.max - times.min) / times.min else 0.0
-      s""""$k":{"best":$best,"rows":$n,"times":[${times.mkString(",")}],"spread":${f"$spread%.3f"}}"""
+      val tm = taskMetrics.get(k).map { m =>
+        "," + m.toSeq.sortBy(_._1)
+          .map { case (mk, mv) => "\"" + mk + "\":" + mv }
+          .mkString("\"task_metrics\":{", ",", "}")
+      }.getOrElse("")
+      s""""$k":{"best":$best,"rows":$n,"times":[${times.mkString(",")}],"spread":${fmt3(spread)}$tm}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions,"queries":$perQuery}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -103,9 +153,15 @@ object Bench {
     // per-query map lives in the big line and the SPARK_GRAFT_BENCH_OUT
     // file artifact.
     val slowest = results.filter(_._3 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}"""
+    println(compact)
+    // ...and a stderr copy: if a future harness decorates stdout again,
+    // the summary still survives somewhere undecorated
+    System.err.println(compact)
+    System.out.flush()
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -30,10 +30,20 @@ object StreamingQueries {
     * key cardinality; only query START needs the override, so the session
     * conf is restored immediately. Values are unaffected — this is
     * parallelism, not semantics (the stream==batch law specs run the same
-    * operators unwrapped). */
+    * operators unwrapped).
+    *
+    * The override mutates the SESSION-global conf for the start() window,
+    * which assumes no OTHER query starts on this session concurrently —
+    * true for the sequential Bench/Verify drivers that run these gates
+    * (a cloned session won't do: Structured Streaming captures the conf
+    * from the DataFrame's own session at start, and the frames are built
+    * on `s`). The lock below serializes at least all users of THIS
+    * helper, so nested/concurrent gate starts can't capture each other's
+    * override or restore a stale value. */
+  private val startLock = new Object
   private def startWithFewStatePartitions(
       s: SparkSession)(start: => org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+      : org.apache.spark.sql.streaming.StreamingQuery = startLock.synchronized {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)

@@ -38,12 +38,21 @@ object Verify {
       // scoped: schema-inference / gram caches are per-query scratch,
       // freed exactly when this query's write finishes
       try graft.core.Caches.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // coalesce(1) keeps outputs tidy at driver scale (sf0.01); at the
+        // big-fixture sweeps (sf10/sf100) it would single-thread a
+        // hundreds-of-millions-row write — the checkers glob *.parquet,
+        // so let those runs write in parallel
+        val df = fn(spark, sfDir)
+        val out = if (sys.env.get("SPARK_GRAFT_VERIFY_NO_COALESCE").contains("1"))
+          df else df.coalesce(1)
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain any frame a pooled thread tracked after its scope closed
+      // (it fell through to the global scope — see Caches)
+      graft.core.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

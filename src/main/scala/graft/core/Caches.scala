@@ -35,8 +35,11 @@ object Caches {
     * pool. Without the closed flag, frames tracked there after the
     * owner's exit landed in a scope nothing would ever release again — a
     * silent session-lifetime pin. With it, `add` on a closed scope falls
-    * through to the process-global scope (drained by any bare
-    * [[Caches.release]]), the pre-scoping behavior. */
+    * through to the scope that was ACTIVE when the closed one was opened
+    * (its enclosing scope — usually the global one), so a frame tracked
+    * by an outliving pooled thread is freed at the enclosing scope's
+    * exit, or by any bare [[Caches.release]] once it reaches the global
+    * scope. Fallbacks chain: a closed enclosing scope hands off again. */
   final class Scope private[Caches] (fallback: Scope) {
     private val tracked =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
@@ -79,7 +82,11 @@ object Caches {
     * double scan the persist exists to avoid. */
   def scoped[T](body: => T): T = {
     val prev = active.get
-    val s = new Scope(global)
+    // fallback = the ENCLOSING scope (not always global): a pooled thread
+    // that outlives a nested scope hands its late tracks to the scope
+    // that contained it, which still drains them at ITS exit; the chain
+    // bottoms out at the never-closed global scope
+    val s = new Scope(prev)
     active.set(s)
     // close (not just release): pooled threads created inside `body`
     // inherit `s` forever — closing redirects their later tracks to the
