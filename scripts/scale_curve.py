@@ -53,17 +53,36 @@ FAIL_SENTINEL = 1e8  # Bench records 1e9 for a failed pass
 
 
 def main():
-    a01, a1, a10 = (json.load(open(p))["queries"] for p in sys.argv[1:4])
-    a100 = json.load(open(sys.argv[5]))["queries"] if len(sys.argv) > 5 else {}
+    paths = {"sf01": sys.argv[1], "sf1": sys.argv[2], "sf10": sys.argv[3]}
+    full = {k: json.load(open(p)) for k, p in paths.items()}
+    if len(sys.argv) > 5:
+        paths["sf100"] = sys.argv[5]
+        full["sf100"] = json.load(open(sys.argv[5]))
+    a01, a1, a10 = full["sf01"]["queries"], full["sf1"]["queries"], \
+        full["sf10"]["queries"]
+    a100 = full["sf100"]["queries"] if "sf100" in full else {}
+    # every growth factor names its numerator/denominator artifact — the
+    # paths AND each artifact's shuffle_partitions land in the output so
+    # a "9.5x at the third decade" claim is reproducible from the curve
+    # file alone (round-13 verdict: growth claims must name denominators)
+    artifacts = {k: {"path": paths[k],
+                     "shuffle_partitions": full[k].get("shuffle_partitions"),
+                     "passes": full[k].get("passes")}
+                 for k in paths}
     common = sorted(set(a01) & set(a1) & set(a10))
-    rows, dropped = [], []
+    rows, dropped, dropped_sf100_only = [], [], []
     for q in common:
         t01, t1, t10 = a01[q]["best"], a1[q]["best"], a10[q]["best"]
         t100 = a100[q]["best"] if q in a100 else None
-        if any(t is not None and t >= FAIL_SENTINEL
-               for t in (t01, t1, t10, t100)):
+        if any(t >= FAIL_SENTINEL for t in (t01, t1, t10)):
             dropped.append(q)
             continue
+        # a fail sentinel ONLY in the optional sf100 column keeps the
+        # row's valid three-decade measurements (ADVICE r13: dropping the
+        # whole row silently shifted per-family geomeans vs prior curves)
+        if t100 is not None and t100 >= FAIL_SENTINEL:
+            dropped_sf100_only.append(q)
+            t100 = None
         row = {"query": q, "sf01": round(t01, 3), "sf1": round(t1, 3),
                "sf10": round(t10, 3),
                "g_01_1": round(t1 / t01, 2), "g_1_10": round(t10 / t1, 2),
@@ -73,7 +92,10 @@ def main():
             row["g_10_100"] = round(t100 / t10, 2)
         rows.append(row)
     if dropped:
-        print(f"EXCLUDED (fail sentinel in some artifact): {dropped}")
+        print(f"EXCLUDED (fail sentinel in sf0.1/sf1/sf10): {dropped}")
+    if dropped_sf100_only:
+        print("sf100 column omitted (fail sentinel there only; "
+              f"sf0.1/sf1/sf10 kept): {dropped_sf100_only}")
     rows.sort(key=lambda r: -r["g_1_10"])
     print(f"{'query':36s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
           f"{'x(.1->1)':>9s} {'x(1->10)':>9s} {'x(100x)':>8s} "
@@ -117,10 +139,15 @@ def main():
                    "where measured) scale factors, 10x data per step; "
                    "subset = worst sf1 scalers + one representative per "
                    "family; sf100 columns only for the third-decade "
-                   "subset run",
+                   "subset run. Every growth factor g_A_B divides the "
+                   "'best' fields of the two artifacts named in "
+                   "'artifacts' (with their shuffle_partitions settings) "
+                   "— compare bands, not bests, per SCALE.md.",
+           "artifacts": artifacts,
            "queries_in_curve": len(rows),
            "queries_at_sf100": len(at100),
            "excluded_fail_sentinel": dropped,
+           "excluded_fail_sentinel_sf100_only": dropped_sf100_only,
            "subset_totals_sec": tot,
            "subset_wall_growth": {
                "g_01_1": round(tot["sf1"] / tot["sf01"], 2),

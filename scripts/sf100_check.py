@@ -127,14 +127,23 @@ def fingerprint_check(gate):
 def kll_rank_check(gate, bound=0.005):
     got = con.execute(f"SELECT * FROM '{out_dir}/{gate}/*.parquet'").fetchdf()
     assert len(got) > 0, "empty"
+    # derive the exact multiset from the COMMITTED oracle's own CTE (its
+    # shape is `WITH v AS (<multiset select>) SELECT ...quantile ranks...`)
+    # so a change to the gate's predicate/value expression changes this
+    # check with it instead of silently desynchronizing (ADVICE r13)
+    import re
+    m = re.search(r"WITH v AS\s*\((.+?)\)\s*SELECT", oracle[gate],
+                  re.S | re.I)
+    assert m, (f"{gate} oracle no longer matches 'WITH v AS (...) SELECT'; "
+               "update kll_rank_check to re-derive its multiset")
+    multiset_sql = m.group(1)
     worst = 0.0
     for _, r in got.iterrows():
         flag = r["l_returnflag"]
         vals = con.execute(
-            """SELECT CAST(floor(l_extendedprice) AS DOUBLE) AS v
-               FROM lineitem
-               WHERE l_orderkey % 1009 = 0 AND l_returnflag = ?
-               ORDER BY v""", [flag]).fetchdf()["v"].to_numpy()
+            f"""SELECT v FROM ({multiset_sql})
+                WHERE l_returnflag = ? ORDER BY v""",
+            [flag]).fetchdf()["v"].to_numpy()
         n = len(vals)
         assert n == int(r["n_rows"]), f"{flag}: n {n} != {r['n_rows']}"
         import numpy as np

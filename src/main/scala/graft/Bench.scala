@@ -29,8 +29,11 @@ object Bench {
     // accumulates spill/shuffle bytes across all tasks so a superlinear
     // grower can be attributed (e.g. sf100's 600M-row join across 32
     // partitions spilling ~19M rows/partition) instead of guessed at.
-    // Listener delivery is async, so when enabled each query waits a
-    // beat AFTER its timing stops — the pause never enters the numbers.
+    // Listener delivery is async, so when enabled each query drains the
+    // listener bus AFTER its timing stops — the wait never enters the
+    // numbers, and (being a real drain, not a guessed sleep) a long
+    // query's late task-end events can't bleed into the next query's
+    // deltas.
     val metricsEnabled = sys.env.get("SPARK_GRAFT_TASK_METRICS").contains("1")
     val memSpill = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
@@ -49,7 +52,11 @@ object Bench {
           }
         }
       })
-    // per-query metric deltas of the LAST pass (keyed after timing ends)
+    // per-query metric deltas of the LAST pass (keyed after timing ends);
+    // each entry records its `pass` index so a reader knows the metrics
+    // may describe a different pass than the one `best` selected (spill /
+    // shuffle bytes are plan properties and stable across passes; wall
+    // time is not — that's exactly why `best` is min() but metrics aren't)
     val taskMetrics =
       scala.collection.mutable.Map.empty[String, Map[String, Long]]
     // failed pass records a sentinel so min() can never report a
@@ -64,7 +71,7 @@ object Bench {
           n => pats.exists(n.contains)
         case _ => _ => true
       }
-    def timeAll(): Seq[(String, (Double, Long))] =
+    def timeAll(pass: Int): Seq[(String, (Double, Long))] =
       SparkEntry.queries.toSeq.filter(p => nameFilter(p._1))
         .sortBy(_._1).map { case (name, fn) =>
         val m0 = (memSpill.get, diskSpill.get, shufWrite.get, shufRead.get)
@@ -81,12 +88,19 @@ object Bench {
         // (falls through to the enclosing/global scope — see Caches)
         graft.core.Caches.release()
         if (metricsEnabled) {
-          Thread.sleep(500) // let the async listener bus drain
+          // deterministic drain of the async bus (ADVICE r13: a fixed
+          // sleep could attribute a long query's late task-end events to
+          // the next query); falls back to a beat if the bus stays busy
+          try org.apache.spark.sql.graft.bridge
+            .waitListenerBusEmpty(spark.sparkContext)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            Thread.sleep(500) }
           taskMetrics(name) = Map(
             "mem_spill" -> (memSpill.get - m0._1),
             "disk_spill" -> (diskSpill.get - m0._2),
             "shuffle_write" -> (shufWrite.get - m0._3),
-            "shuffle_read" -> (shufRead.get - m0._4))
+            "shuffle_read" -> (shufRead.get - m0._4),
+            "pass" -> pass.toLong)
         }
         name -> (if (n >= 0) dt else FailSentinel, n)
       }
@@ -99,7 +113,7 @@ object Bench {
     // mixed record).
     val passes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val allPasses = (1 to passes).map(_ => timeAll().toMap)
+    val allPasses = (1 to passes).map(p => timeAll(p).toMap)
     val results = SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted.map { k =>
       val ps = allPasses.map(_(k))
       val times = ps.map(_._1)

@@ -21,32 +21,31 @@ object StreamingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Start a streaming query with a small state-partition count. The
-    * number of state partitions is pinned from spark.sql.shuffle.partitions
-    * at the FIRST micro-batch, and each one costs a state-store init plus
-    * a per-batch commit — at gate scale (a few thousand keys) 32
-    * partitions is pure fixed overhead (~20% of each streaming gate's
-    * wall, measured round 12). Production streams size this knob to their
-    * key cardinality; only query START needs the override, so the session
-    * conf is restored immediately. Values are unaffected — this is
-    * parallelism, not semantics (the stream==batch law specs run the same
-    * operators unwrapped).
+  /** Session for a streaming gate, with a small state-partition count.
+    * The number of state partitions is pinned from
+    * spark.sql.shuffle.partitions at the FIRST micro-batch, and each one
+    * costs a state-store init plus a per-batch commit — at gate scale (a
+    * few thousand keys) 32 partitions is pure fixed overhead (~20% of
+    * each streaming gate's wall, measured round 12). Production streams
+    * size this knob to their key cardinality. Values are unaffected —
+    * this is parallelism, not semantics (the stream==batch law specs run
+    * the same operators unwrapped).
     *
-    * The override mutates the SESSION-global conf for the start() window,
-    * which assumes no OTHER query starts on this session concurrently —
-    * true for the sequential Bench/Verify drivers that run these gates
-    * (a cloned session won't do: Structured Streaming captures the conf
-    * from the DataFrame's own session at start, and the frames are built
-    * on `s`). The lock below serializes at least all users of THIS
-    * helper, so nested/concurrent gate starts can't capture each other's
-    * override or restore a stale value. */
-  private val startLock = new Object
-  private def startWithFewStatePartitions(
-      s: SparkSession)(start: => org.apache.spark.sql.streaming.StreamingQuery)
-      : org.apache.spark.sql.streaming.StreamingQuery = startLock.synchronized {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * The override lives in a CLONED session (`newSession()`: own SQLConf
+    * and temp-view catalog, shared SparkContext), never in the caller's:
+    * the whole streaming pipeline — readStream, transforms, the memory
+    * sink, and the sink's temp view — is built on the clone, so a batch
+    * query running CONCURRENTLY on `s` can never observe the 8-partition
+    * override (round-13 verdict item 3 retired the old set/restore-on-`s`
+    * window plus its lock and sequential-driver caveat; graft.Soak's
+    * `concurrent` phase now proves the isolation empirically). The clone
+    * also isolates the memory-sink query NAME, so the same gate can run
+    * concurrently with itself. Clones are cheap session-state shells; they
+    * are unreferenced after the gate's frame is consumed. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,21 +76,20 @@ object StreamingQueries {
           col("event_type"), col("value"))
       val tmp = graft.core.TempDirs.scratch("graft_swa")
       ev.write.mode("overwrite").json(tmp)
-      val stream = streaming.StreamOps.readJsonStream(s, tmp,
+      val ss = streamSession(s)
+      val stream = streaming.StreamOps.readJsonStream(ss, tmp,
         "ts TIMESTAMP, event_type STRING, value DOUBLE")
       val agged = streaming.StreamOps.windowedAggregate(stream, "ts",
         "1 hour", null, "1 minute", Seq("event_type"), Seq("value"), Seq("sum"))
       val qn = "q_stream_window_agg_sink"
-      val q = startWithFewStatePartitions(s) {
-        agged.writeStream.format("memory").queryName(qn)
-          .outputMode("complete").start()
-      }
+      val q = agged.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
       // staged JSON only feeds the file source; free it once drained
       try q.processAllAvailable() finally {
         q.stop()
         graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
       }
-      s.table(qn)
+      ss.table(qn)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), round(col("value:sum"), 2).as("value:sum"))
         .orderBy("hour", "event_type")
@@ -110,21 +108,20 @@ object StreamingQueries {
           col("event_type"), (col("user_id") % 100).as("user_bucket"))
       val tmp = graft.core.TempDirs.scratch("graft_sdd")
       ev.write.mode("overwrite").json(tmp)
-      val stream = streaming.StreamOps.readJsonStream(s, tmp,
+      val ss = streamSession(s)
+      val stream = streaming.StreamOps.readJsonStream(ss, tmp,
         "ts TIMESTAMP, event_type STRING, user_bucket BIGINT")
       val deduped = streaming.StreamOps.streamingDedup(stream, "ts",
         "10 minutes", Seq("event_type", "user_bucket"))
       val qn = "q_stream_dedup_sink"
-      val q = startWithFewStatePartitions(s) {
-        deduped.select("event_type", "user_bucket")
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-      }
+      val q = deduped.select("event_type", "user_bucket")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
       try q.processAllAvailable() finally {
         q.stop()
         graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
       }
-      s.table(qn).orderBy("event_type", "user_bucket")
+      ss.table(qn).orderBy("event_type", "user_bucket")
     }),
 
 
@@ -165,7 +162,8 @@ object StreamingQueries {
         col("event_type"), pmod(col("user_id"), lit(200L)).as("ub"))
       val tmp = graft.core.TempDirs.scratchPath("graft_sdi")
       ev.write.mode("overwrite").json(tmp.toString)
-      val stream = graft.streaming.StreamOps.readJsonStream(s, tmp.toString,
+      val ss = streamSession(s)
+      val stream = graft.streaming.StreamOps.readJsonStream(ss, tmp.toString,
         "ts TIMESTAMP, event_type STRING, ub BIGINT")
       val agged = stream.withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -173,10 +171,8 @@ object StreamingQueries {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), Sketches.hllEstimate(col("sk")).as("nd_users"))
       val qn = "q_stream_distinct_sink"
-      val q = startWithFewStatePartitions(s) {
-        agged.writeStream.format("memory").queryName(qn)
-          .outputMode("complete").start()
-      }
+      val q = agged.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
       // the staged JSON exists only to feed the file source; once the
       // stream has drained into the memory sink the files are dead — a
       // fresh temp dir per invocation would otherwise accumulate a full
@@ -185,7 +181,7 @@ object StreamingQueries {
         q.stop()
         graft.core.TempDirs.deleteRecursively(tmp)
       }
-      s.table(qn).orderBy("hour", "event_type")
+      ss.table(qn).orderBy("hour", "event_type")
     }),
   )
 

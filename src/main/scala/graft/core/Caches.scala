@@ -90,7 +90,8 @@ object Caches {
     active.set(s)
     // close (not just release): pooled threads created inside `body`
     // inherit `s` forever — closing redirects their later tracks to the
-    // global scope instead of pinning frames in a dead scope
+    // ENCLOSING scope (chaining on until the never-closed global scope)
+    // instead of pinning frames in a dead scope
     try body finally { active.set(prev); s.close() }
   }
 

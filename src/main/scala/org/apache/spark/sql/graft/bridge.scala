@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deterministic listener-bus drain (`SparkContext.listenerBus` is
+    * private[spark], same shim rationale as above): lets metric capture
+    * wait for all task-end events instead of sleeping a guessed beat. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+                           timeoutMillis: Long = 60000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
