@@ -103,7 +103,15 @@ object Multimodal {
     val binIdx = df.columns.indexOf(binCol)
     require(idIdx >= 0 && binIdx >= 0, s"missing $idCol/$binCol")
     df.mapPartitions { it =>
-      // per-partition init happens here in a real decoder
+      // per-partition init happens here in a real decoder. ImageIO's
+      // default useCache=true spools EVERY non-file stream to a disk
+      // temp file before decoding — one create/write/delete per row,
+      // which at corpus scale turns decode into small-file disk I/O and
+      // makes wall time track scratch-disk state (measured: the sf1
+      // 50k-payload gate jittered 5-27 s across passes on a busy disk,
+      // ~3 s steady without it). In-memory stream cache is
+      // decode-identical; the setter is JVM-global and idempotent.
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val id = r.getLong(idIdx)
