@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""sf100 value sweep for the third-decade gate subset (round 13).
+"""sf100 value sweep for the third-decade gate subset.
 
 Checks the 14 gates benchmarked at sf100 (600M-row lineitem, 150M orders,
 5M documents, 10M embeddings) against their COMMITTED oracle SQL, with
@@ -36,6 +36,9 @@ Exit 0 iff every gate passes.
 """
 import sys, json, glob, os, subprocess
 import duckdb
+
+# label for the artifact provenance fields; override per round
+ROUND_LABEL = os.environ.get("SF100_ROUND_LABEL", "round 14")
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 out_json = sys.argv[3] if len(sys.argv) > 3 else None
@@ -217,7 +220,7 @@ for gate in REPLAY:
         print(f"FAIL {gate} (replay rc={rc})", flush=True)
 
 summary = {
-    "note": "sf100 value sweep (round 13): the 14-gate third-decade "
+    "note": f"sf100 value sweep ({ROUND_LABEL}): the 14-gate third-decade "
             "subset run by Verify at /tmp/sf100 (scripts/make_sf_big.py "
             "sf0.1 x1000: 600M-row lineitem, 150M orders, 5M documents, "
             "10M embeddings) value-checked against the committed oracle "
@@ -225,7 +228,7 @@ summary = {
             "sf10 sweep; 'fingerprint' is exact multiset equality via a "
             "DuckDB-side row-hash sum for the two outputs too large to "
             "materialize in pandas.",
-    "generated": "round 13",
+    "generated": ROUND_LABEL,
     "total": len(results),
     "fail": len(fails),
     "by_method": {m: sum(1 for r in results.values()
