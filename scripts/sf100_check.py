@@ -37,8 +37,12 @@ Exit 0 iff every gate passes.
 import sys, json, glob, os, subprocess
 import duckdb
 
-# label for the artifact provenance fields; override per round
-ROUND_LABEL = os.environ.get("SF100_ROUND_LABEL", "round 14")
+# label for the artifact provenance fields: REQUIRED so a round that
+# forgets to export it cannot silently stamp stale provenance (ADVICE r14)
+ROUND_LABEL = os.environ.get("SF100_ROUND_LABEL")
+if not ROUND_LABEL:
+    sys.exit("SF100_ROUND_LABEL is not set — export it (e.g. 'round 15') "
+             "so the artifact's provenance fields cannot go stale")
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 out_json = sys.argv[3] if len(sys.argv) > 3 else None

@@ -33,8 +33,11 @@ object Reshape {
    *
    * Two-phase by construction (Spark needs the schema before execution):
    * a distributed probe pass unions the produced key sets, then the
-   * declared-schema flatMap runs. Prefer `explodeRows` (declared schema,
-   * single pass) where the caller knows the output shape.
+   * declared-schema flatMap runs — so `f` is invoked TWICE per row and
+   * must be pure and cheap. Prefer `explodeRows` (declared schema, single
+   * pass) where the caller knows the output shape, and
+   * [[explodeMapsFetched]] where `f` performs remote or non-idempotent
+   * work (it runs the generator exactly once per row).
    */
   def explodeMaps(df: DataFrame, cols: Seq[String],
                   f: Map[String, String] => Seq[Map[String, String]],
@@ -73,6 +76,54 @@ object Reshape {
         Row.fromSeq(keep.map(c => r.get(r.fieldIndex(c))) ++
           keys.map(k => m.getOrElse(k, "")))
       }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Fetch-once variant of [[explodeMaps]] for EXPENSIVE or NON-IDEMPOTENT
+   * generators — the per-row remote searches of the Jira / LogScale
+   * clients (the reference fetches once per row, jira_ext.py:192-208).
+   * [[explodeMaps]] invokes `f` twice per row (key-discovery probe, then
+   * fan-out), which for a remote generator doubles API load and silently
+   * drops any key that only appears in the second invocation's results
+   * (non-idempotent remote data, paging drift). Here each row's generator
+   * runs EXACTLY once: the produced maps materialize into a
+   * lineage-truncated intermediate (`localCheckpoint`), output keys derive
+   * from that materialized data, and the fan-out projects from it. On
+   * executor loss the job fails instead of silently re-fetching — the
+   * right failure mode for non-idempotent remote calls. For pure
+   * in-memory generators prefer [[explodeMaps]] (no materialization) or
+   * [[explodeRows]] (declared schema, single pass).
+   */
+  def explodeMapsFetched(df: DataFrame, cols: Seq[String],
+                         f: Map[String, String] => Seq[Map[String, String]],
+                         prefix: String, collapse: Boolean = true,
+                         maxKeys: Int = 10000): DataFrame = {
+    val inCols = cols
+    def rowToMap(r: Row): Map[String, String] =
+      inCols.map(c =>
+        c -> Option(r.get(r.fieldIndex(c))).map(_.toString).getOrElse("")).toMap
+    val keep = if (collapse) df.columns.filterNot(inCols.contains).toSeq
+               else df.columns.toSeq
+    val fetched = df.map { r =>
+      (keep.map(c => r.get(r.fieldIndex(c))), f(rowToMap(r)))
+    }(Encoders.kryo[(Seq[Any], Seq[Map[String, String]])])
+      .localCheckpoint() // eager: the ONLY generator run, lineage cut here
+    val discovered = fetched
+      .flatMap(_._2.iterator.flatMap(_.keys))(Encoders.STRING)
+      .distinct().limit(maxKeys + 1).collect()
+    if (discovered.length > maxKeys)
+      throw new IllegalStateException(
+        s"explode: schema-from-data discovered more than $maxKeys distinct " +
+          "output keys — a schema this wide is not viable as columns. " +
+          "Declare the output schema with explodeRows(df, gen, outSchema) " +
+          "(single-pass, no discovery), or raise maxKeys deliberately.")
+    val keys = discovered.sorted.toSeq
+    val outSchema = StructType(
+      keep.map(c => df.schema(c)) ++
+        keys.map(k => StructField(s"$prefix:$k", StringType)))
+    fetched.flatMap { case (kept, maps) =>
+      maps.map(m => Row.fromSeq(kept ++ keys.map(k => m.getOrElse(k, ""))))
     }(Encoders.row(outSchema))
   }
 

@@ -48,8 +48,20 @@ object Multimodal {
    * image.
    */
   def decodeImageFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    // ImageIO's default useCache=true spools every plain InputStream to a
+    // DISK temp file before decoding — one create/write/delete per row,
+    // which at corpus scale turns decode into small-file disk I/O and
+    // makes wall time track scratch-disk state (measured: the sf1
+    // 50k-payload gate jittered 5-27 s across passes on a busy disk, ~3 s
+    // steady without it). Passing a MemoryCacheImageInputStream keeps the
+    // cache in memory for THIS call only, without mutating the JVM-global
+    // ImageIO.setUseCache flag that every other ImageIO caller in the JVM
+    // observes. Decode output is identical (Round15Spec pins the
+    // closed-form luminance AND that the global flag stays untouched).
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
     if (img == null) None
     else {
@@ -103,15 +115,9 @@ object Multimodal {
     val binIdx = df.columns.indexOf(binCol)
     require(idIdx >= 0 && binIdx >= 0, s"missing $idCol/$binCol")
     df.mapPartitions { it =>
-      // per-partition init happens here in a real decoder. ImageIO's
-      // default useCache=true spools EVERY non-file stream to a disk
-      // temp file before decoding — one create/write/delete per row,
-      // which at corpus scale turns decode into small-file disk I/O and
-      // makes wall time track scratch-disk state (measured: the sf1
-      // 50k-payload gate jittered 5-27 s across passes on a busy disk,
-      // ~3 s steady without it). In-memory stream cache is
-      // decode-identical; the setter is JVM-global and idempotent.
-      javax.imageio.ImageIO.setUseCache(false)
+      // per-partition init happens here in a real decoder (the disk-cache
+      // avoidance lives inside decodeImageFeatures as a per-call
+      // MemoryCacheImageInputStream — no JVM-global state is touched)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val id = r.getLong(idIdx)

@@ -122,11 +122,14 @@ object JiraClient {
     * (collapse=false). The fields mapping is fetched ONCE on the driver
     * (as the reference builds it once at client init) and ships in the
     * closure. A row whose search matches nothing is dropped, like the
-    * reference's explode of an empty map list. */
+    * reference's explode of an empty map list. Each row's search executes
+    * EXACTLY once (explodeMapsFetched materializes the fetched maps before
+    * key discovery), matching the reference's single fetch per row
+    * (jira_ext.py:192-208) — JiraClientSpec pins the request count. */
   def searchIssuesPar(df: DataFrame, cfg: Config, queryTemplate: String,
                       prefix: String, maxResults: Int = 10): DataFrame = {
     val mapping = fieldsMapping(cfg)
-    graft.core.Reshape.explodeMaps(df, df.columns.toSeq, { row =>
+    graft.core.Reshape.explodeMapsFetched(df, df.columns.toSeq, { row =>
       val jql = row.foldLeft(queryTemplate) { case (acc, (k, v)) =>
         acc.replace(s"{$k}", v)
       }

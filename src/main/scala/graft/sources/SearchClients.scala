@@ -277,12 +277,15 @@ object LogScaleClient {
     * LogScaleDF.get_events): every input row runs `queryFilter` over its
     * own `[startTsCol, endTsCol]` window on an executor, and the
     * matching events join the row with `prefix:`-ed columns. Built on
-    * the two-phase `explodeMaps` surface, so the output header is the
-    * union of event fields. */
+    * `explodeMapsFetched`, so the output header is the union of event
+    * fields AND each row's search executes exactly once (the fetched
+    * maps materialize before key discovery — no doubled API load, no
+    * silently dropped late keys); SearchClientsSpec pins the submit
+    * count. */
   def getEventsPar(df: DataFrame, cfg: Config, queryFilter: String,
                    startTsCol: String, endTsCol: String,
                    prefix: String): DataFrame =
-    graft.core.Reshape.explodeMaps(df, df.columns.toSeq, { row =>
+    graft.core.Reshape.explodeMapsFetched(df, df.columns.toSeq, { row =>
       val st = row(startTsCol).toLong
       val et = row(endTsCol).toLong
       runOnce(cfg, queryFilter, st, et, Nil, Nil) match {

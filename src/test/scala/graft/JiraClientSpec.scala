@@ -193,4 +193,25 @@ class JiraClientSpec extends SparkTestBase {
     val keys = out.select("jr:key").collect().map(_.getString(0)).sorted.toSeq
     assert(keys == Seq("AL-1", "AL-2"))
   }
+
+  test("jira: fan-out runs exactly ONE search per input row (fetch-once law)") {
+    import spark.implicits._
+    searchCalls.set(0)
+    // three rows, each a single-page search (ALPHA: 2 issues; BIG capped
+    // at maxResults=10 -> one page; NONE: empty) -> exactly 3 search
+    // requests total. The two-pass explodeMaps would make 6 (VERDICT r14
+    // finding 1: doubled API load + silently dropped pass-2-only keys).
+    val seeds = Seq(("r1", "ALPHA"), ("r2", "BIG"), ("r3", "NONE"))
+      .toDF("row_id", "proj")
+    val out = JiraClient.searchIssuesPar(seeds, cfg, "project = {proj}",
+      prefix = "jr", maxResults = 10)
+    assert(out.count() == 12) // 2 ALPHA + 10 BIG (capped), NONE drops
+    assert(searchCalls.get == 3,
+      s"expected 1 search per input row (3), saw ${searchCalls.get}")
+    // and re-reading the result does not re-fetch (lineage cut at the
+    // materialized fetch)
+    out.count()
+    assert(searchCalls.get == 3,
+      s"re-reading the fan-out result re-ran searches: ${searchCalls.get}")
+  }
 }

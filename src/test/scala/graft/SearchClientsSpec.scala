@@ -222,5 +222,13 @@ class SearchClientsSpec extends SparkTestBase {
     val a2 = out.filter(out("alert_id") === "a2")
       .select("ev:ts").collect().map(_.getString(0)).sorted.toSeq
     assert(a2 == Seq("7000", "7001", "7002"))
+    // fetch-once law (VERDICT r14 finding 1): exactly ONE query job was
+    // submitted per input row — the two-pass explodeMaps submitted two
+    assert(submits.size == 2,
+      s"expected 1 submit per input row (2), saw ${submits.size}: ${submits.keys}")
+    // re-reading the result does not re-submit (lineage cut at the fetch)
+    out.count()
+    assert(submits.size == 2,
+      s"re-reading the fan-out result re-submitted jobs: ${submits.size}")
   }
 }
