@@ -13,14 +13,23 @@ object Bench {
     // shuffle-partition sizing a cluster job does (SCALE.md) applies
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // AQE auto-sizing alternative to the manual decade knob above: when
+    // set, every shuffle STARTS at this many partitions and AQE's
+    // partition coalescing merges them down to fit the data — one config
+    // across scale decades instead of a per-decade
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS a user must know to turn (SCALE.md
+    // round-15 experiment)
+    val aqeInitial = sys.env.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS")
+    val sessionBuilder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    aqeInitial.foreach(n => sessionBuilder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = sessionBuilder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen + scheduler warm-up so the first timed query doesn't
     // absorb session startup
@@ -149,8 +158,12 @@ object Bench {
       }.getOrElse("")
       s""""$k":{"best":$best,"rows":$n,"times":[${times.mkString(",")}],"spread":${fmt3(spread)}$tm}"""
     }.mkString("{", ",", "}")
+    // artifacts must be self-describing (round-14 lesson: growth claims
+    // name their denominators) — record the AQE knob alongside the manual
+    // one so cross-round compares can't mix sizing regimes unnoticed
+    val aqeField = aqeInitial.map(n => s""","aqe_initial_partitions":$n""").getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"queries":$perQuery}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -170,7 +183,7 @@ object Bench {
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}"""
     println(compact)
     // ...and a stderr copy: if a future harness decorates stdout again,
     // the summary still survives somewhere undecorated
