@@ -89,6 +89,40 @@ class Round15Spec extends SparkTestBase {
     assert(dropped.count() == 1)
   }
 
+  test("explodeMapsFetched == explodeMaps for pure generators (differential law)") {
+    // the fetch-once variant must be a drop-in for the two-pass surface
+    // whenever the generator is pure — same columns, same row multiset,
+    // for both collapse modes and for multi-map fan-outs
+    val df = spark.range(40).selectExpr("id", "cast(id % 7 as string) AS k",
+      "id * 1.5 AS x").repartition(8)
+    val gen = (m: Map[String, String]) => {
+      val n = m("k").toInt
+      (0 to n % 3).map(i => Map("g" -> s"${m("k")}_$i", s"lane$i" -> m("id")))
+    }
+    for (collapse <- Seq(true, false)) {
+      val two = graft.core.Reshape.explodeMaps(df, Seq("k", "id"), gen,
+        prefix = "p", collapse = collapse)
+      val one = graft.core.Reshape.explodeMapsFetched(df, Seq("k", "id"), gen,
+        prefix = "p", collapse = collapse)
+      assert(one.columns.toSeq == two.columns.toSeq, s"collapse=$collapse")
+      val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+      assert(one.collect().map(key).sorted.toSeq ==
+        two.collect().map(key).sorted.toSeq, s"collapse=$collapse")
+    }
+  }
+
+  test("explodeMapsFetched fetch-once law holds across many partitions") {
+    Round15FetchCounter.reset()
+    val df = spark.range(200).selectExpr("id", "cast(id as string) AS s")
+      .repartition(16)
+    val out = graft.core.Reshape.explodeMapsFetched(df, Seq("s"),
+      m => { Round15FetchCounter.calls.incrementAndGet(); Seq(Map("v" -> m("s"))) },
+      prefix = "p")
+    assert(out.count() == 200)
+    assert(Round15FetchCounter.calls.get == 200,
+      s"generator ran ${Round15FetchCounter.calls.get} times for 200 rows")
+  }
+
   test("image decode is identical with the per-call memory cache and never " +
        "mutates the global ImageIO flag") {
     import graft.operators.Multimodal
