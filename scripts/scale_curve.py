@@ -14,6 +14,7 @@ subset-of-a-subset was measured. Queries carrying Bench's fail sentinel
 error out of the curve, not poison geomeans.
 """
 import sys, json, math
+import fixture_stamp
 
 FAMILIES = {
     "span dedup (linear gram build)": ["q_dup_spans"],
@@ -67,8 +68,32 @@ def main():
     # file alone (round-13 verdict: growth claims must name denominators)
     artifacts = {k: {"path": paths[k],
                      "shuffle_partitions": full[k].get("shuffle_partitions"),
-                     "passes": full[k].get("passes")}
+                     "passes": full[k].get("passes"),
+                     "fixture_fingerprint":
+                         full[k].get("fixture", {}).get("fingerprint")}
                  for k in paths}
+    # fixture integrity (round-16): REFUSE to divide artifacts that were
+    # measured against different bytes than the committed pins — a
+    # regenerated fixture changes row-group layout and invalidates the
+    # growth factors (up to 11x on scan-bound gates, round 14). Artifacts
+    # predating the stamp (no "fixture" field) pass with a warning.
+    bad = []
+    for k in paths:
+        fx = full[k].get("fixture")
+        if fx is None:
+            print(f"WARNING: {paths[k]} has no fixture stamp "
+                  "(pre-round-16 artifact) — pin not verifiable")
+            continue
+        ok, msg = fixture_stamp.check_pin(fx.get("dir", full[k].get("sf", "")),
+                                          fx.get("fingerprint"), who=paths[k])
+        if not ok:
+            print(f"REFUSING: {msg}")
+            bad.append(k)
+    if bad:
+        sys.exit(f"scale_curve: fixture fingerprint mismatch in "
+                 f"{[paths[k] for k in bad]} — growth factors across a "
+                 "regeneration are not comparable; re-pin deliberately "
+                 "with fixture_stamp.py --pin if intended")
     common = sorted(set(a01) & set(a1) & set(a10))
     rows, dropped, dropped_sf100_only = [], [], []
     for q in common:

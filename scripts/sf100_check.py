@@ -233,6 +233,7 @@ summary = {
             "DuckDB-side row-hash sum for the two outputs too large to "
             "materialize in pandas.",
     "generated": ROUND_LABEL,
+    "fixture": __import__("fixture_stamp").stamp(sf_dir),
     "total": len(results),
     "fail": len(fails),
     "by_method": {m: sum(1 for r in results.values()

@@ -47,6 +47,10 @@ for r in args.ref:
 artifact = {"note": args.note, "generated": args.label, "gates": {}}
 if os.path.exists(args.out):
     artifact = json.load(open(args.out))
+    # merged artifacts must carry the CURRENT note/label and always have a
+    # gates map, whatever schema the old file had
+    artifact.setdefault("gates", {})
+    artifact["note"] = args.note
     artifact["generated"] = args.label
 
 failed = []

@@ -4,6 +4,44 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{...}} for the driver. */
 object Bench {
+
+  /** Fixture integrity stamp — ALGORITHM-IDENTICAL to
+    * scripts/fixture_stamp.py (the two must move together): per-table
+    * file count + byte sum over the sf dir's sorted top-level entries
+    * (directories recursed with '.'/'_' basenames skipped), md5 over
+    * "name:files:bytes" entries joined with ';'. Lets every bench
+    * artifact self-describe the exact fixture bytes it measured. */
+  def stampFixture(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(sfDir).normalize()
+    if (!Files.isDirectory(root))
+      return s"""{"dir":"$sfDir","fingerprint":"unavailable","tables":{}}"""
+    val entries = Files.list(root).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    val tables = entries.flatMap { p =>
+      val name = p.getFileName.toString
+      if (Files.isRegularFile(p)) Some((name, 1L, Files.size(p)))
+      else if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try {
+          val fs = walk.iterator().asScala
+            .filter(f => Files.isRegularFile(f))
+            .filterNot { f =>
+              val b = f.getFileName.toString
+              b.startsWith(".") || b.startsWith("_")
+            }.toSeq
+          Some((name, fs.size.toLong, fs.map(Files.size(_)).sum))
+        } finally walk.close()
+      } else None
+    }
+    val manifest = tables.map { case (n, f, b) => s"$n:$f:$b" }.mkString(";")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tablesJson = tables.map { case (n, f, b) =>
+      s""""$n":{"files":$f,"bytes":$b}""" }.mkString("{", ",", "}")
+    s"""{"dir":"${root.toString}","fingerprint":"$fp","tables":$tablesJson}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,7 +57,13 @@ object Bench {
     // across scale decades instead of a per-decade
     // SPARK_GRAFT_SHUFFLE_PARTITIONS a user must know to turn (SCALE.md
     // round-15 experiment)
-    val aqeInitial = sys.env.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS")
+    // parsed at read time: a typo ("auto") would otherwise surface as
+    // invalid JSON in the artifact or a late Spark config error
+    val aqeInitial: Option[Int] =
+      sys.env.get("SPARK_GRAFT_AQE_INITIAL_PARTITIONS").map { s =>
+        s.toIntOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_AQE_INITIAL_PARTITIONS must be an integer, got '$s'"))
+      }
     val sessionBuilder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -28,7 +72,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
     aqeInitial.foreach(n => sessionBuilder.config(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      n.toString))
     val spark = sessionBuilder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen + scheduler warm-up so the first timed query doesn't
@@ -162,8 +207,13 @@ object Bench {
     // name their denominators) — record the AQE knob alongside the manual
     // one so cross-round compares can't mix sizing regimes unnoticed
     val aqeField = aqeInitial.map(n => s""","aqe_initial_partitions":$n""").getOrElse("")
+    // fixture integrity stamp (round-16): WHICH bytes this bench ran
+    // against, so cross-round compares can prove they divided numbers
+    // from the same pinned fixture (a regeneration changed row-group
+    // layout and moved scan-bound gates up to 11x in round 14)
+    val fixtureJson = stampFixture(sfDir)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"fixture":$fixtureJson,"queries":$perQuery}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -182,8 +232,10 @@ object Bench {
     val slowest = results.filter(_._3 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
+    val fixtureFp = "\"fingerprint\":\"([0-9a-f]+|unavailable)\"".r
+      .findFirstMatchIn(fixtureJson).map(_.group(1)).getOrElse("unavailable")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"failed":$failed,"shuffle_partitions":$shufflePartitions$aqeField,"fixture_fingerprint":"$fixtureFp","queries_count":${results.size},"slowest":$slowest,"full":"$outPath"}"""
     println(compact)
     // ...and a stderr copy: if a future harness decorates stdout again,
     // the summary still survives somewhere undecorated

@@ -86,19 +86,43 @@ object Reshape {
    * [[explodeMaps]] invokes `f` twice per row (key-discovery probe, then
    * fan-out), which for a remote generator doubles API load and silently
    * drops any key that only appears in the second invocation's results
-   * (non-idempotent remote data, paging drift). Here each row's generator
-   * runs EXACTLY once: the produced maps materialize into a
-   * lineage-truncated intermediate (`localCheckpoint`), output keys derive
-   * from that materialized data, and the fan-out projects from it. On
-   * executor loss the job fails instead of silently re-fetching — the
-   * right failure mode for non-idempotent remote calls. For pure
-   * in-memory generators prefer [[explodeMaps]] (no materialization) or
-   * [[explodeRows]] (declared schema, single pass).
+   * (non-idempotent remote data, paging drift). Here at most ONE
+   * SUCCESSFUL generator invocation per row is used: the produced maps
+   * materialize into a lineage-truncated intermediate (`localCheckpoint`),
+   * output keys derive from that materialized data, and the fan-out
+   * projects from it. Caveat: the eager fetch job itself is still a Spark
+   * job, so task retries (`spark.task.maxFailures`) or speculation can
+   * re-invoke `f` for every row of a retried partition — only
+   * post-checkpoint re-execution is guarded. Callers needing strict
+   * once-semantics should disable speculation and accept that a failed
+   * fetch task re-fetches its partition. On executor loss AFTER the
+   * checkpoint the job fails instead of silently re-fetching — the right
+   * failure mode for non-idempotent remote calls.
+   *
+   * Retention: the checkpointed intermediate (kryo-serialized kept
+   * columns + fetched maps) stays pinned in block-manager memory/disk
+   * until the returned plan becomes unreachable and ContextCleaner GCs
+   * it. Long-lived sessions issuing many fan-outs should use
+   * [[explodeMapsFetchedReleasable]] and call the release handle once the
+   * result is materialized (written / collected / checkpointed onward).
+   * For pure in-memory generators prefer [[explodeMaps]] (no
+   * materialization) or [[explodeRows]] (declared schema, single pass).
    */
   def explodeMapsFetched(df: DataFrame, cols: Seq[String],
                          f: Map[String, String] => Seq[Map[String, String]],
                          prefix: String, collapse: Boolean = true,
-                         maxKeys: Int = 10000): DataFrame = {
+                         maxKeys: Int = 10000): DataFrame =
+    explodeMapsFetchedReleasable(df, cols, f, prefix, collapse, maxKeys)._1
+
+  /** [[explodeMapsFetched]] plus a release handle that unpersists the
+   * checkpointed fetch intermediate. Call it AFTER materializing the
+   * returned DataFrame (the result's lineage reads the checkpointed
+   * blocks; releasing first makes later actions fail). */
+  def explodeMapsFetchedReleasable(
+      df: DataFrame, cols: Seq[String],
+      f: Map[String, String] => Seq[Map[String, String]],
+      prefix: String, collapse: Boolean = true,
+      maxKeys: Int = 10000): (DataFrame, () => Unit) = {
     val inCols = cols
     def rowToMap(r: Row): Map[String, String] =
       inCols.map(c =>
@@ -122,9 +146,20 @@ object Reshape {
     val outSchema = StructType(
       keep.map(c => df.schema(c)) ++
         keys.map(k => StructField(s"$prefix:$k", StringType)))
-    fetched.flatMap { case (kept, maps) =>
+    val out = fetched.flatMap { case (kept, maps) =>
       maps.map(m => Row.fromSeq(kept ++ keys.map(k => m.getOrElse(k, ""))))
     }(Encoders.row(outSchema))
+    // Dataset.unpersist only clears cache-manager entries; a
+    // localCheckpoint's blocks belong to the RDD inside the plan's
+    // LogicalRDD leaf (same pattern as GraphOps.release)
+    val releaseBlocks = () => {
+      fetched.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ =>
+      }
+    }
+    (out, releaseBlocks)
   }
 
   /** Split N string cols by `sep` into aligned row fan-out
