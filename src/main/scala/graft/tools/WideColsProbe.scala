@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.XDF
+
+/** One-off wide-data ceiling probe (round-16, verdict item 6; NOT a gate).
+  *
+  * q_wide_cols holds ~5-6 s at every scale factor — scale-CONSTANT, i.e.
+  * driver/plan-compile cost, not data cost. The survey's headline is
+  * "100s or 1000s of columns", so this probe measures where that ceiling
+  * is: for N in 1000/2000/5000 generated columns it splits wall time into
+  *   build_sec  — pipeline construction incl. dropEmptyCols' one-pass
+  *                emptiness aggregate (a real 1-job scan over N columns)
+  *   plan_sec   — forcing the final executedPlan (pure Catalyst:
+  *                analysis + optimization + physical planning)
+  *   run_sec    — the terminal action on the 5-column projection
+  * Rows are capped exactly like the gate (3000) so the numbers isolate
+  * column-count growth. Emits one JSON line per N; results recorded in
+  * SCALE.md ("wide-data ceiling"). Usage:
+  *   scripts/run_main.sh graft.tools.WideColsProbe [sfDir] [n1,n2,...]
+  */
+object WideColsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val ns = (if (args.length > 1) args(1) else "1000,2000,5000")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm-up: JIT + codegen + scheduler, so N=first isn't inflated
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    ns.foreach { n =>
+      val half = n / 2
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_orderkey") % 20 === 0)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(3000)
+      val (finalDf, buildSec) = timed {
+        val wide = base.select(
+          col("l_orderkey") +: col("l_linenumber") +:
+            ((1 to half).map(i =>
+              round(col("l_quantity") * i, 2).as(s"m:q$i")) ++
+              (1 to half).map(i =>
+                (if (i % 2 == 0) lit("")
+                 else concat(col("l_returnflag"), lit(i.toString))).as(s"t$i"))): _*)
+        XDF(wide)
+          .dropEmptyCols()
+          .renamePrefix("m", "metric")
+          .select("l_orderkey", "l_linenumber", "metric:q7",
+            s"metric:q$half", "t3")
+          .sort(Seq("l_orderkey", "l_linenumber")).toDF
+      }
+      val (_, planSec) = timed(finalDf.queryExecution.executedPlan)
+      val ((rows), runSec) = timed(finalDf.count())
+      println(s"""{"probe":"wide_cols","cols":${2 * half + 2},"rows":$rows,""" +
+        s""""build_sec":${f"$buildSec%.2f"},"plan_sec":${f"$planSec%.2f"},""" +
+        s""""run_sec":${f"$runSec%.2f"},"total_sec":${f"${buildSec + planSec + runSec}%.2f"}}""")
+    }
+    spark.stop()
+  }
+}
