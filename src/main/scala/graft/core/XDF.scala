@@ -76,18 +76,47 @@ case class XDF(df: DataFrame) {
     * instead of the reference's per-column scans (dataframe.py:553-594). */
   def dropEmptyCols(): XDF = {
     // emptiness by type: only string/binary can cast to "" — numerics and
-    // the rest are non-empty iff non-null, and skipping their per-cell
-    // to-string conversion is what keeps the 1000-column sweep one cheap
-    // pass (measured 34s -> sub-second on a 1000-col x 60k-row frame)
-    val aggs = header.map { c =>
-      val nonEmpty = df.schema(c).dataType match {
-        case StringType | BinaryType => col(c).cast(StringType) =!= ""
-        case _                       => col(c).isNotNull
+    // the rest are non-empty iff non-null. The sweep is ONE pass at the
+    // InternalRow level rather than an N-aggregate `agg`: Catalyst
+    // analysis + codegen of N max(when(...)) aggregates is quadratic in
+    // column count (WideColsProbe, round 16: 8.5s at 1000 cols, 37s at
+    // 5000 — all driver-side), while this per-partition Boolean-array
+    // sweep is linear, communicates the same per-partition bitmap a
+    // map-side-combined agg would, and short-circuits a partition once
+    // every column has been seen non-empty.
+    val schema = df.schema
+    val n = schema.length
+    // 0 = string, 1 = binary, 2 = non-null-is-non-empty
+    val kinds: Array[Int] = schema.fields.map(_.dataType match {
+      case StringType => 0
+      case BinaryType => 1
+      case _          => 2
+    }).toArray
+    val seen = df.queryExecution.toRdd.mapPartitions { it =>
+      val s = new Array[Boolean](n)
+      var remaining = n
+      while (remaining > 0 && it.hasNext) {
+        val row = it.next()
+        var i = 0
+        while (i < n) {
+          if (!s(i) && !row.isNullAt(i)) {
+            val nonEmpty = kinds(i) match {
+              case 0 => row.getUTF8String(i).numBytes > 0
+              case 1 => row.getBinary(i).length > 0
+              case _ => true
+            }
+            if (nonEmpty) { s(i) = true; remaining -= 1 }
+          }
+          i += 1
+        }
       }
-      max(when(nonEmpty, 1).otherwise(0)).as(c)
+      Iterator.single(s)
+    }.fold(new Array[Boolean](n)) { (a, b) =>
+      var i = 0
+      while (i < n) { a(i) = a(i) || b(i); i += 1 }
+      a
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val empty = header.zipWithIndex.collect { case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c }
+    val empty = header.zipWithIndex.collect { case (c, i) if !seen(i) => c }
     XDF(df.drop(empty: _*))
   }
 

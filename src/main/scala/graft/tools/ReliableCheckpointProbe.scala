@@ -58,16 +58,19 @@ object ReliableCheckpointProbe {
         reliable = reliable).select("doc_id")
 
     // order-independent value fingerprint: count + sum of row-hash
-    def fingerprint(df: DataFrame): (Long, Long) = {
+    // (decimal sum: a long sum of ~1M random 64-bit hashes overflows
+    // under ANSI mode)
+    def fingerprint(df: DataFrame): (Long, String) = {
       val r = df.select(
         count(lit(1)),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()(0)
-      (r.getLong(0), r.getLong(1))
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1).toString)
     }
 
     Seq("q_graph_cc" -> graphCc _, "q_dedup_minhash_cc" -> minhashCc _)
       .foreach { case (name, mk) =>
-        var fps = Map.empty[Boolean, (Long, Long)]
+        var fps = Map.empty[Boolean, (Long, String)]
         for (pass <- 1 to passes; reliable <- Seq(false, true)) {
           val t0 = System.nanoTime()
           val fp = fingerprint(mk(reliable))

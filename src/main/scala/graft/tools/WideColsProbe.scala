@@ -48,26 +48,37 @@ object WideColsProbe {
         .filter(col("l_orderkey") % 20 === 0)
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .limit(3000)
-      val (finalDf, buildSec) = timed {
-        val wide = base.select(
+      // build split three ways so the superlinear term is attributable:
+      //   select_sec — constructing + ANALYZING the N-column projection
+      //   sweep_sec  — dropEmptyCols' one-pass emptiness agg (a real job:
+      //                N aggregates, plan + codegen + execute)
+      //   tail_sec   — renamePrefix/select/sort name algebra
+      val (wide, selectSec) = timed {
+        val w = base.select(
           col("l_orderkey") +: col("l_linenumber") +:
             ((1 to half).map(i =>
               round(col("l_quantity") * i, 2).as(s"m:q$i")) ++
               (1 to half).map(i =>
                 (if (i % 2 == 0) lit("")
                  else concat(col("l_returnflag"), lit(i.toString))).as(s"t$i"))): _*)
-        XDF(wide)
-          .dropEmptyCols()
+        w.schema // force analysis
+        w
+      }
+      val (swept, sweepSec) = timed(XDF(wide).dropEmptyCols())
+      val (finalDf, tailSec) = timed {
+        swept
           .renamePrefix("m", "metric")
           .select("l_orderkey", "l_linenumber", "metric:q7",
             s"metric:q$half", "t3")
           .sort(Seq("l_orderkey", "l_linenumber")).toDF
       }
       val (_, planSec) = timed(finalDf.queryExecution.executedPlan)
-      val ((rows), runSec) = timed(finalDf.count())
+      val (rows, runSec) = timed(finalDf.count())
+      val total = selectSec + sweepSec + tailSec + planSec + runSec
       println(s"""{"probe":"wide_cols","cols":${2 * half + 2},"rows":$rows,""" +
-        s""""build_sec":${f"$buildSec%.2f"},"plan_sec":${f"$planSec%.2f"},""" +
-        s""""run_sec":${f"$runSec%.2f"},"total_sec":${f"${buildSec + planSec + runSec}%.2f"}}""")
+        s""""select_sec":${f"$selectSec%.2f"},"sweep_sec":${f"$sweepSec%.2f"},""" +
+        s""""tail_sec":${f"$tailSec%.2f"},"plan_sec":${f"$planSec%.2f"},""" +
+        s""""run_sec":${f"$runSec%.2f"},"total_sec":${f"$total%.2f"}}""")
     }
     spark.stop()
   }
