@@ -20,6 +20,7 @@ If --out exists, new gate entries MERGE into it (existing gates are
 overwritten only when re-run). Exit 0 iff every gate ran 0-failed.
 """
 import argparse, json, os, subprocess, sys, tempfile
+import fixture_stamp
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -54,9 +55,18 @@ if os.path.exists(args.out):
     artifact["generated"] = args.label
 
 failed = []
+checked_dirs = set()
 for spec in args.gates:
     gate, _, sf_dir = spec.partition("=")
     sf_dir = sf_dir or args.sf_dir
+    # a band against a regenerated fixture would compare different bytes
+    # (round-16 pin protocol: refuse, like scale_curve.py)
+    if sf_dir not in checked_dirs:
+        checked_dirs.add(sf_dir)
+        ok, msg = fixture_stamp.check_pin(sf_dir, who="solo_bands")
+        print(f"[solo_bands] {msg}", flush=True)
+        if not ok:
+            sys.exit(1)
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         bench_out = tf.name
     env = dict(os.environ,
