@@ -214,6 +214,15 @@ class CoreSpec extends SparkTestBase {
     val df = XDF(Seq(("a", "", ""), ("b", "", "x"), ("", "", "")).toDF("c1", "c2", "c3"))
     assert(df.dropEmptyCols().toDF.columns.toSeq == Seq("c1", "c3"))
     assert(df.dropEmptyRows().toDF.count() == 2)
+    // typed emptiness: numerics are non-empty iff non-null; nulls count
+    // as empty for strings too
+    val mixed = XDF(Seq((1, null: String, ""), (2, null: String, ""))
+      .toDF("n", "s", "e"))
+    assert(mixed.dropEmptyCols().toDF.columns.toSeq == Seq("n"))
+    // 0 rows -> every column is empty (the reference's convention; also
+    // pins the fold-zero path of the round-16 InternalRow sweep)
+    val empty = XDF(Seq(("a", 1)).toDF("x", "y").limit(0))
+    assert(empty.dropEmptyCols().toDF.columns.isEmpty)
   }
 
   test("fillEmpty maps SQL nulls onto the empty-string convention") {
