@@ -51,8 +51,15 @@ def run_bench(classes, sf_dir, gates, passes, metrics, shuffle_partitions):
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-cp", f"{classes}:/opt/spark/jars/*", "graft.Bench"])
     rc = subprocess.run(cmd, env=env, stdout=subprocess.DEVNULL).returncode
+    # A JVM that dies before writing bench_out leaves an empty temp file;
+    # record a graceful FAIL instead of aborting and losing the completed
+    # arm's sweep (ADVICE round 16).
     try:
         full = json.load(open(bench_out))
+    except Exception as e:
+        print(f"[bench_ab] WARN: no bench output ({e}) — recording FAIL",
+              flush=True)
+        full = {"value": None, "failed": -1, "queries": {}}
     finally:
         os.unlink(bench_out)
     return rc, full
@@ -122,7 +129,9 @@ def main():
             "classes": classes, "total": full.get("value"),
             "shuffle_partitions": full.get("shuffle_partitions"),
             "queries": full.get("queries", {}), "solo": {}}
-        print(f"[bench_ab] arm={name} total={full.get('value'):.1f}s "
+        total = full.get("value")
+        total_s = f"{total:.1f}s" if isinstance(total, (int, float)) else "n/a"
+        print(f"[bench_ab] arm={name} total={total_s} "
               f"failed={full.get('failed')}", flush=True)
 
     for gate in args.solo:
@@ -143,7 +152,10 @@ def main():
             print(f"[bench_ab] solo {gate} arm={name}: times={q['times']}",
                   flush=True)
 
-    if len(arms) == 2:
+    totals_ok = all(isinstance(artifact["arms"][n]["total"], (int, float))
+                    and artifact["arms"][n]["total"] > 0
+                    for n, _ in arms)
+    if len(arms) == 2 and totals_ok:
         a, b = arms[0][0], arms[1][0]
         qa = artifact["arms"][a]["queries"]
         qb = artifact["arms"][b]["queries"]

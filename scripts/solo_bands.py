@@ -48,25 +48,28 @@ for r in args.ref:
 artifact = {"note": args.note, "generated": args.label, "gates": {}}
 if os.path.exists(args.out):
     artifact = json.load(open(args.out))
-    # merged artifacts must carry the CURRENT note/label and always have a
-    # gates map, whatever schema the old file had
+    # merged artifacts must always have a gates map, whatever schema the
+    # old file had; provenance is PER ENTRY below (ADVICE round 16: a
+    # top-level label silently relabels previously recorded gates), the
+    # top-level "generated" only records the latest writer
     artifact.setdefault("gates", {})
     artifact["note"] = args.note
     artifact["generated"] = args.label
 
 failed = []
-checked_dirs = set()
+dir_fps = {}
 for spec in args.gates:
     gate, _, sf_dir = spec.partition("=")
     sf_dir = sf_dir or args.sf_dir
     # a band against a regenerated fixture would compare different bytes
     # (round-16 pin protocol: refuse, like scale_curve.py)
-    if sf_dir not in checked_dirs:
-        checked_dirs.add(sf_dir)
-        ok, msg = fixture_stamp.check_pin(sf_dir, who="solo_bands")
+    if sf_dir not in dir_fps:
+        fp = fixture_stamp.stamp(sf_dir)["fingerprint"]
+        ok, msg = fixture_stamp.check_pin(sf_dir, fp, who="solo_bands")
         print(f"[solo_bands] {msg}", flush=True)
         if not ok:
             sys.exit(1)
+        dir_fps[sf_dir] = fp
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         bench_out = tf.name
     env = dict(os.environ,
@@ -101,7 +104,10 @@ for spec in args.gates:
               flush=True)
         failed.append(gate)
         continue
-    entry = {"sf_dir": sf_dir,
+    # per-entry provenance: after a merge into an existing --out, each
+    # band still names the label AND fixture bytes it was measured against
+    entry = {"sf_dir": sf_dir, "label": args.label,
+             "fixture_fingerprint": dir_fps[sf_dir],
              "shuffle_partitions": full.get("shuffle_partitions"),
              "times": q["times"], "best": q["best"], "rows": q["rows"]}
     if gate in refs:

@@ -11,14 +11,30 @@ object Bench {
     * (directories recursed with '.'/'_' basenames skipped), md5 over
     * "name:files:bytes" entries joined with ';'. Lets every bench
     * artifact self-describe the exact fixture bytes it measured. */
+  /** Minimal JSON string escaper for interpolated path/table names — a
+    * name containing a quote or backslash must not yield a malformed
+    * artifact (ADVICE round 16). */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.toString
+  }
+
   def stampFixture(sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(sfDir).normalize()
     if (!Files.isDirectory(root))
-      return s"""{"dir":"$sfDir","fingerprint":"unavailable","tables":{}}"""
-    val entries = Files.list(root).iterator().asScala.toSeq
-      .sortBy(_.getFileName.toString)
+      return s"""{"dir":"${jstr(sfDir)}","fingerprint":"unavailable","tables":{}}"""
+    val list = Files.list(root)
+    val entries =
+      try list.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      finally list.close()
     val tables = entries.flatMap { p =>
       val name = p.getFileName.toString
       if (Files.isRegularFile(p)) Some((name, 1L, Files.size(p)))
@@ -39,8 +55,8 @@ object Bench {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(manifest.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tablesJson = tables.map { case (n, f, b) =>
-      s""""$n":{"files":$f,"bytes":$b}""" }.mkString("{", ",", "}")
-    s"""{"dir":"${root.toString}","fingerprint":"$fp","tables":$tablesJson}"""
+      s""""${jstr(n)}":{"files":$f,"bytes":$b}""" }.mkString("{", ",", "}")
+    s"""{"dir":"${jstr(root.toString)}","fingerprint":"$fp","tables":$tablesJson}"""
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -90,14 +90,18 @@ object Reshape {
    * SUCCESSFUL generator invocation per row is used: the produced maps
    * materialize into a lineage-truncated intermediate (`localCheckpoint`),
    * output keys derive from that materialized data, and the fan-out
-   * projects from it. Caveat: the eager fetch job itself is still a Spark
-   * job, so task retries (`spark.task.maxFailures`) or speculation can
+   * projects from it. The eager fetch job itself is still a Spark job,
+   * so task retries (`spark.task.maxFailures`) or speculation can
    * re-invoke `f` for every row of a retried partition — only
-   * post-checkpoint re-execution is guarded. Callers needing strict
-   * once-semantics should disable speculation and accept that a failed
-   * fetch task re-fetches its partition. On executor loss AFTER the
-   * checkpoint the job fails instead of silently re-fetching — the right
-   * failure mode for non-idempotent remote calls.
+   * post-checkpoint re-execution is guarded by default. Pass
+   * `strictOnce = true` to make a re-attempted fetch task FAIL FAST
+   * before invoking the generator (and disable speculation,
+   * `spark.speculation=false`): a non-idempotent remote fan-out then
+   * chooses loud failure over silent double-fetch — the partition may
+   * have been partially fetched by the failed attempt, and only the
+   * caller can decide whether re-driving it is safe. On executor loss
+   * AFTER the checkpoint the job fails instead of silently re-fetching —
+   * the right failure mode for non-idempotent remote calls.
    *
    * Retention: the checkpointed intermediate (kryo-serialized kept
    * columns + fetched maps) stays pinned in block-manager memory/disk
@@ -111,8 +115,10 @@ object Reshape {
   def explodeMapsFetched(df: DataFrame, cols: Seq[String],
                          f: Map[String, String] => Seq[Map[String, String]],
                          prefix: String, collapse: Boolean = true,
-                         maxKeys: Int = 10000): DataFrame =
-    explodeMapsFetchedReleasable(df, cols, f, prefix, collapse, maxKeys)._1
+                         maxKeys: Int = 10000,
+                         strictOnce: Boolean = false): DataFrame =
+    explodeMapsFetchedReleasable(
+      df, cols, f, prefix, collapse, maxKeys, strictOnce)._1
 
   /** [[explodeMapsFetched]] plus a release handle that unpersists the
    * checkpointed fetch intermediate. Call it AFTER materializing the
@@ -122,7 +128,8 @@ object Reshape {
       df: DataFrame, cols: Seq[String],
       f: Map[String, String] => Seq[Map[String, String]],
       prefix: String, collapse: Boolean = true,
-      maxKeys: Int = 10000): (DataFrame, () => Unit) = {
+      maxKeys: Int = 10000,
+      strictOnce: Boolean = false): (DataFrame, () => Unit) = {
     val inCols = cols
     def rowToMap(r: Row): Map[String, String] =
       inCols.map(c =>
@@ -130,6 +137,23 @@ object Reshape {
     val keep = if (collapse) df.columns.filterNot(inCols.contains).toSeq
                else df.columns.toSeq
     val fetched = df.map { r =>
+      // strictOnce: a retried/speculative fetch task would re-invoke the
+      // generator for every row of a partition the failed attempt may
+      // have already partially fetched — fail fast instead, BEFORE any
+      // generator call of the re-attempt (law: Round17Spec via
+      // tools/StrictOnceProbe, which needs a maxFailures>1 master)
+      if (strictOnce) {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && (tc.attemptNumber > 0 || tc.stageAttemptNumber > 0))
+          throw new IllegalStateException(
+            "explodeMapsFetched(strictOnce=true): task re-attempt detected " +
+              s"(task attempt ${tc.attemptNumber}, stage attempt " +
+              s"${tc.stageAttemptNumber}) — refusing to re-invoke the " +
+              "non-idempotent generator for a partition the failed attempt " +
+              "may have partially fetched. Disable speculation " +
+              "(spark.speculation=false); re-drive the fan-out only if the " +
+              "remote side tolerates duplicate fetches.")
+      }
       (keep.map(c => r.get(r.fieldIndex(c))), f(rowToMap(r)))
     }(Encoders.kryo[(Seq[Any], Seq[Map[String, String]])])
       .localCheckpoint() // eager: the ONLY generator run, lineage cut here

@@ -92,8 +92,9 @@ case class XDF(df: DataFrame) {
       case BinaryType => 1
       case _          => 2
     }).toArray
-    val seen = df.queryExecution.toRdd.mapPartitions { it =>
+    val (seen, sawRow) = df.queryExecution.toRdd.mapPartitions { it =>
       val s = new Array[Boolean](n)
+      val nonEmptyPart = it.hasNext
       var remaining = n
       while (remaining > 0 && it.hasNext) {
         val row = it.next()
@@ -110,12 +111,15 @@ case class XDF(df: DataFrame) {
           i += 1
         }
       }
-      Iterator.single(s)
-    }.fold(new Array[Boolean](n)) { (a, b) =>
+      Iterator.single((s, nonEmptyPart))
+    }.fold((new Array[Boolean](n), false)) { case ((a, ra), (b, rb)) =>
       var i = 0
       while (i < n) { a(i) = a(i) || b(i); i += 1 }
-      a
+      (a, ra || rb)
     }
+    // 0-row frame: return unchanged, matching the reference
+    // (dataframe.py:560-562 short-circuits on num_rows() == 0).
+    if (!sawRow) return this
     val empty = header.zipWithIndex.collect { case (c, i) if !seen(i) => c }
     XDF(df.drop(empty: _*))
   }

@@ -219,10 +219,11 @@ class CoreSpec extends SparkTestBase {
     val mixed = XDF(Seq((1, null: String, ""), (2, null: String, ""))
       .toDF("n", "s", "e"))
     assert(mixed.dropEmptyCols().toDF.columns.toSeq == Seq("n"))
-    // 0 rows -> every column is empty (the reference's convention; also
-    // pins the fold-zero path of the round-16 InternalRow sweep)
+    // 0 rows -> frame returned UNCHANGED, matching the reference's
+    // num_rows()==0 short-circuit (dataframe.py:560-562); also pins the
+    // sawRow=false path of the InternalRow sweep's fold
     val empty = XDF(Seq(("a", 1)).toDF("x", "y").limit(0))
-    assert(empty.dropEmptyCols().toDF.columns.isEmpty)
+    assert(empty.dropEmptyCols().toDF.columns.toSeq == Seq("x", "y"))
   }
 
   test("fillEmpty maps SQL nulls onto the empty-string convention") {
