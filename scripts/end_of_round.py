@@ -72,6 +72,53 @@ def require_pin(sf_dir):
                  "Re-pin deliberately first if intended.")
 
 
+CALIB_JAR = os.path.join(REPO, "scripts", "calib", "graft-calib.jar")
+OPENS_PKGS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]
+
+
+def calibrate(phase):
+    """Box-state calibration (round-17, verdict item 1): run the PINNED
+    calibration jar (fixed CPU+shuffle+scan mix, never rebuilt with the
+    library) immediately before a bench sweep and return its stamp.
+    Cross-round geomeans divide by score_sec (round_over_round.py), so a
+    slow box-night is visible before attribution, not after a binary A/B.
+    Returns None (with a loud warning) if the jar is missing."""
+    if not os.path.exists(CALIB_JAR):
+        print(f"[eor] WARNING: calibration jar missing at {CALIB_JAR} — "
+              "bench artifact will carry no box-speed stamp", flush=True)
+        return None
+    import hashlib, tempfile
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        calib_out = tf.name
+    opens = [f for p in OPENS_PKGS for f in ("--add-opens", f"{p}=ALL-UNNAMED")]
+    cmd = (["java"] + opens +
+           ["-Xmx16g", "-cp", f"{CALIB_JAR}:/opt/spark/jars/*",
+            "CalibWorkload", calib_out])
+    print(f"[eor] calibrating box speed before {phase} (pinned jar)...",
+          flush=True)
+    rc = subprocess.run(cmd, stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL).returncode
+    try:
+        calib = json.load(open(calib_out))
+    except Exception as e:
+        print(f"[eor] WARNING: calibration produced no output "
+              f"(rc={rc}: {e}) — continuing unstamped", flush=True)
+        return None
+    finally:
+        os.unlink(calib_out)
+    calib["jar_md5"] = hashlib.md5(open(CALIB_JAR, "rb").read()).hexdigest()
+    calib["measured_before"] = phase
+    print(f"[eor] calibration score_sec={calib.get('score_sec')} "
+          f"(passes {calib.get('passes')})", flush=True)
+    return calib
+
+
 class Runner:
     def __init__(self, args):
         self.args = args
@@ -132,6 +179,10 @@ class Runner:
     def _bench(self, phase, sf_dir, out_name, gates=None, metrics=False,
                shuffle_partitions=None):
         require_pin(sf_dir)
+        # box-speed stamp measured immediately BEFORE the sweep, injected
+        # into the artifact after it (the artifact then names both the
+        # fixture bytes AND the box speed its numbers were measured at)
+        calib = calibrate(phase)
         env = {"SPARK_GRAFT_SF_DIR": sf_dir,
                "SPARK_GRAFT_BENCH_OUT": self.art(out_name)}
         if gates:
@@ -146,11 +197,15 @@ class Runner:
             full = json.load(open(self.art(out_name)))
         except Exception as e:
             return self.record(phase, False, error=f"no artifact: {e}", log=log)
+        if calib is not None:
+            full["calibration"] = calib
+            json.dump(full, open(self.art(out_name), "w"))
         ok = rc == 0 and full.get("failed", 1) == 0
         if gates and sorted(full.get("queries", {})) != sorted(gates):
             ok = False
         return self.record(phase, ok, artifact=out_name,
                            total=full.get("value"), failed=full.get("failed"),
+                           calib_score=(calib or {}).get("score_sec"),
                            fixture=full.get("fixture", {}).get("fingerprint"))
 
     def bench_sf01(self):
@@ -176,18 +231,40 @@ class Runner:
                            f"BENCH_FULL_r{self.n:02d}_sf10.json",
                            gates=gates, metrics=True)
 
+    # Gates with PROVEN large in-JVM variance, band-compared instead of
+    # solo-run (round-17, verdict item 5): q_fuzz_77 tripped the >=1.3x
+    # wire in rounds 14-16 and was solo-refuted every time — its committed
+    # in-JVM spread is 7.3-19.2s WITHIN single sweeps (BENCH_FULL_r14_sf10
+    # times [14.0, 19.2, 7.3]; r15 [8.7, 10.3, 14.7]; r16 solo band
+    # 8.4-13.4). A mover whose best lands INSIDE this committed band is
+    # auto-refuted without a solo cycle; OUTSIDE it, escalation still runs.
+    BAND_ONLY = {"q_fuzz_77": (7.2, 19.2)}
+
     def solo_bands(self):
         cur = json.load(open(self.art(f"BENCH_FULL_r{self.n:02d}_sf10.json")))
         prv = json.load(open(self.art(f"BENCH_FULL_r{self.prev:02d}_sf10.json")))
-        movers = []
+        movers, band_refuted = [], []
         for g, q in cur["queries"].items():
             p = prv["queries"].get(g)
             if p and p["best"] > 0 and q["best"] / p["best"] >= \
                     self.args.mover_threshold:
-                movers.append((g, round(q["best"] / p["best"], 2)))
+                ratio = round(q["best"] / p["best"], 2)
+                band = self.BAND_ONLY.get(g)
+                if band and band[0] <= q["best"] <= band[1]:
+                    band_refuted.append(
+                        {"gate": g, "ratio": ratio, "best": q["best"],
+                         "committed_band": list(band),
+                         "note": "inside committed in-JVM variance band — "
+                                 "auto-refuted, no solo run"})
+                    print(f"[eor] mover {g} ({ratio}x) auto-refuted: best "
+                          f"{q['best']:.2f}s inside committed band {band}",
+                          flush=True)
+                else:
+                    movers.append((g, ratio))
         if not movers:
             return self.record("solo_bands", True, movers=[],
-                               note="no up-mover >= threshold; no solo runs")
+                               band_refuted=band_refuted,
+                               note="no up-mover needing a solo run")
         out = f"BENCH_SOLO_BANDS_r{self.n}.json"
         refs = [f"--ref={g}={prv['queries'][g]['best']},"
                 f"{max(prv['queries'][g]['times'])},prior-insweep"
@@ -197,7 +274,7 @@ class Runner:
                 [g for g, _ in movers],
                 log=f"{self.scratch}/solo_bands.log")
         return self.record("solo_bands", rc == 0, artifact=out,
-                           movers=movers)
+                           movers=movers, band_refuted=band_refuted)
 
     def verify_sf1(self):
         out_dir = f"{self.scratch}/v_sf1"

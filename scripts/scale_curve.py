@@ -70,8 +70,26 @@ def main():
                      "shuffle_partitions": full[k].get("shuffle_partitions"),
                      "passes": full[k].get("passes"),
                      "fixture_fingerprint":
-                         full[k].get("fixture", {}).get("fingerprint")}
+                         full[k].get("fixture", {}).get("fingerprint"),
+                     # box-speed stamp (round-17): the pinned calibration
+                     # jar's score measured right before this sweep — a
+                     # slow box-hour for ONE decade shows up here, before
+                     # anyone argues about growth factors
+                     "calib_score_sec":
+                         full[k].get("calibration", {}).get("score_sec")}
                  for k in paths}
+    calibs = {k: a["calib_score_sec"] for k, a in artifacts.items()
+              if a["calib_score_sec"]}
+    if calibs:
+        base = min(calibs.values())
+        rel = {k: round(v / base, 3) for k, v in sorted(calibs.items())}
+        print(f"box-speed calibration per decade (score_sec, lower=faster): "
+              f"{calibs} — relative {rel}")
+        spread = max(calibs.values()) / base
+        if spread > 1.1:
+            print(f"NOTE: calibration spread {spread:.2f}x across decades — "
+                  "growth factors include a measured box-speed drift; "
+                  "compare per-decade numbers against their calib stamps")
     # fixture integrity (round-16): REFUSE to divide artifacts that were
     # measured against different bytes than the committed pins — a
     # regenerated fixture changes row-group layout and invalidates the
