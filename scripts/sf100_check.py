@@ -63,6 +63,24 @@ FINGERPRINT = ["q_zorder_value", "q_topk_per_group"]
 RANK_BOUND = ["q_kll_quantiles"]
 REPLAY = ["q_pack_greedy"]
 
+# Optional gate subset (round-17: the sfBIG fifth-decade run checks only
+# the gates its disk budget allowed) — SF100_GATES="g1,g2" restricts
+# every method list; unset = the full 14-gate sf100 protocol.
+_gates_env = os.environ.get("SF100_GATES")
+if _gates_env:
+    _only = set(g.strip() for g in _gates_env.split(",") if g.strip())
+    EXACT = [g for g in EXACT if g in _only]
+    TRY_EXACT_THEN_RELATIVE = [g for g in TRY_EXACT_THEN_RELATIVE if g in _only]
+    FINGERPRINT = [g for g in FINGERPRINT if g in _only]
+    RANK_BOUND = [g for g in RANK_BOUND if g in _only]
+    REPLAY = [g for g in REPLAY if g in _only]
+    _known = set(EXACT + TRY_EXACT_THEN_RELATIVE + FINGERPRINT +
+                 RANK_BOUND + REPLAY)
+    _unknown = _only - _known
+    if _unknown:
+        sys.exit(f"SF100_GATES names gates with no check method: "
+                 f"{sorted(_unknown)}")
+
 results, fails = {}, []
 
 
@@ -224,14 +242,14 @@ for gate in REPLAY:
         print(f"FAIL {gate} (replay rc={rc})", flush=True)
 
 summary = {
-    "note": f"sf100 value sweep ({ROUND_LABEL}): the 14-gate third-decade "
-            "subset run by Verify at /tmp/sf100 (scripts/make_sf_big.py "
-            "sf0.1 x1000: 600M-row lineitem, 150M orders, 5M documents, "
-            "10M embeddings) value-checked against the committed oracle "
-            "SQL. Methods per gate follow the same honesty rules as the "
-            "sf10 sweep; 'fingerprint' is exact multiset equality via a "
-            "DuckDB-side row-hash sum for the two outputs too large to "
-            "materialize in pandas.",
+    "note": f"Big-fixture value sweep ({ROUND_LABEL}) at {sf_dir}"
+            + (f", gate subset {sorted(_only)}" if _gates_env else
+               ": the 14-gate third-decade subset")
+            + ". Verify outputs value-checked against the committed oracle "
+            "SQL run directly in DuckDB over the same tables. Methods per "
+            "gate follow the same honesty rules as the sf10 sweep; "
+            "'fingerprint' is exact multiset equality via a DuckDB-side "
+            "row-hash sum for outputs too large to materialize in pandas.",
     "generated": ROUND_LABEL,
     "fixture": __import__("fixture_stamp").stamp(sf_dir),
     "total": len(results),
