@@ -150,9 +150,12 @@ object Reshape {
               s"(task attempt ${tc.attemptNumber}, stage attempt " +
               s"${tc.stageAttemptNumber}) — refusing to re-invoke the " +
               "non-idempotent generator for a partition the failed attempt " +
-              "may have partially fetched. Disable speculation " +
-              "(spark.speculation=false); re-drive the fan-out only if the " +
-              "remote side tolerates duplicate fetches.")
+              "may have partially fetched. Note: STAGE retries trip this " +
+              "guard too — an upstream shuffle-fetch failure re-runs the " +
+              "whole stage, so this error does not necessarily mean a task " +
+              "in THIS stage failed or a duplicate fetch occurred. Disable " +
+              "speculation (spark.speculation=false); re-drive the fan-out " +
+              "only if the remote side tolerates duplicate fetches.")
       }
       (keep.map(c => r.get(r.fieldIndex(c))), f(rowToMap(r)))
     }(Encoders.kryo[(Seq[Any], Seq[Map[String, String]])])

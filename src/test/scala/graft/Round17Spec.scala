@@ -23,7 +23,7 @@ class Round17Spec extends SparkTestBase {
       .resolve("probe.json")
     val rc = scala.sys.process.Process(
       Seq("scripts/run_main.sh", "graft.tools.StrictOnceProbe", out.toString),
-      new java.io.File("/root/repo"), "SPARK_DRIVER_MEM" -> "4g").!
+      new java.io.File(sys.props("user.dir")), "SPARK_DRIVER_MEM" -> "4g").!
     assert(rc == 0, s"StrictOnceProbe exited $rc")
     val json = new String(Files.readAllBytes(out), "UTF-8")
     def field(k: String): String =
