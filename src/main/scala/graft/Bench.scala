@@ -87,6 +87,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan the output partitioning of cached plans: the
+      // dedup operators persist small derived frames (LSH bands, gram
+      // hashes) consumed twice, and with this off (the conservative
+      // default) every shuffle UNDER a persist runs at the raw
+      // shuffle-partition count with no coalescing — measured 1.2-1.5x
+      // on the minhashClusters gate family at sf0.1 (OPTIMIZATION_r18)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     aqeInitial.foreach(n => sessionBuilder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       n.toString))

@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan cached-plan output partitioning: operators that
+      // persist a small derived frame for a provable double-read (LSH
+      // bands, gram hashes, BFS edge lists) otherwise execute every
+      // shuffle under the persist at the raw partition count, uncoalesced
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.plans.GraftExtensions)
 

@@ -106,9 +106,17 @@ object Dedup {
    * skew — and AQE skew-join handles the join-back side.
    */
   private def bucketMinJoin(banded: DataFrame, idCol: String): DataFrame = {
-    val bucketMins = banded.groupBy(col("band"), col("band_key"))
+    // persisted: BOTH consumers (the bucket-min aggregate and the
+    // join-back) read `banded`, and without the persist each re-runs the
+    // whole shingle-explode + md5 + 12-min signature aggregation from the
+    // corpus — the same double-scan q_dup_spans' gram frame was fixed
+    // for. The (id, band, band_key) frame is tiny next to the text it
+    // derives from; tracked in Caches so the caller's scope releases it.
+    val b = graft.core.Caches.track(banded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bucketMins = b.groupBy(col("band"), col("band_key"))
       .agg(min(col(idCol)).as("__bucket_min__"))
-    banded.join(bucketMins, Seq("band", "band_key"))
+    b.join(bucketMins, Seq("band", "band_key"))
   }
 
   /**
@@ -239,11 +247,19 @@ object Dedup {
     * over the hash (simhash16 has only 65,536 distinct values — a window
     * partition would concentrate corpus-scale row groups on one task). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
-    val reps = hashed.groupBy(col("__sh__")).agg(min(col(idCol)).as("__rep__"))
-    hashed.join(reps, Seq("__sh__"))
-      .filter(col(idCol) === col("__rep__"))
-      .drop("__sh__", "__rep__")
+    // Survivors are EXACTLY the distinct per-hash minimum ids (ids are
+    // unique by the operator's contract — "min doc id represents the
+    // cluster"), and the hash space caps the rep set at 65,536 rows. So
+    // instead of re-evaluating simhash16 over the corpus a second time
+    // and joining on the hash, broadcast-semi-join the rep ids back on
+    // the id column: ONE corpus scan + one hash evaluation total.
+    // Null/unhashable text never matched the old inner hash-join, so the
+    // rep aggregate drops the null-hash group to keep results identical.
+    val reps = df.select(TextOps.simhash16(col(textCol)).as("__sh__"), col(idCol))
+      .filter(col("__sh__").isNotNull)
+      .groupBy(col("__sh__")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(broadcast(reps), Seq(idCol), "left_semi")
   }
 
   /**
@@ -257,9 +273,10 @@ object Dedup {
    * 65,536 keys), bit-flip probing (hash xor every mask of weight <=
    * maxHamming — 16 probes at distance 1, 136 more at distance 2) plus
    * connected components run over those <= 65,536 reps, and the
-   * resulting (hash -> component-min) map — bounded by the hash space,
-   * never by corpus size — BROADCASTS back over the corpus. Total cost:
-   * two corpus scans, one tiny partial-agg shuffle, zero corpus-content
+   * resulting survivor-id set — bounded by the hash space, never by
+   * corpus size — BROADCAST-semi-joins back over the corpus on the id
+   * column. Total cost: two corpus scans but only ONE simhash
+   * evaluation, one tiny partial-agg shuffle, zero corpus-content
    * shuffles, and a CC graph whose size is independent of data volume.
    * (A doc-level pair graph is the trap here: k identical docs would
    * materialize k^2/2 edges — quadratic in cluster size, measured 40x
@@ -275,12 +292,13 @@ object Dedup {
       (if (maxHamming >= 2)
         for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1 << i) | (1 << j)
       else Nil)
-    val base = df.withColumn("__sh__", TextOps.simhash16(col(textCol)))
     // one rep (min id) per occupied hash value: <= 65,536 rows;
     // checkpointed via chk so reliable=true survives executor loss like
     // the CC phase it feeds
-    val bucketReps = GraphOps.chk(base.groupBy(col("__sh__"))
-      .agg(min(col(idCol)).as("__rep__")), reliable)
+    val bucketReps = GraphOps.chk(
+      df.select(TextOps.simhash16(col(textCol)).as("__sh__"), col(idCol))
+        .groupBy(col("__sh__"))
+        .agg(min(col(idCol)).as("__rep__")), reliable)
     val probes = bucketReps.select(col("__rep__").as("__pid__"),
       explode(array(masks.map(m => col("__sh__").bitwiseXOR(lit(m))): _*)).as("__p__"))
     val idx = bucketReps.select(col("__rep__").as("__tid__"), col("__sh__").as("__tsh__"))
@@ -290,12 +308,18 @@ object Dedup {
       .distinct()
     val comp = GraphOps.connectedComponents(edges, maxIter, reliable)
       .select(col("node_id").as("__rep__"), col("component"))
-    // hash -> component min id (isolated buckets label themselves)
-    val bucketComp = bucketReps.join(comp, Seq("__rep__"), "left")
-      .select(col("__sh__"), coalesce(col("component"), col("__rep__")).as("__comp__"))
-    base.join(broadcast(bucketComp), Seq("__sh__"))
-      .filter(col(idCol) === col("__comp__"))
-      .drop("__sh__", "__comp__")
+    // hash -> component min id (isolated buckets label themselves).
+    // Survivors are EXACTLY the distinct component-min ids (unique-id
+    // contract, same argument as simhashDedup: a component min m is the
+    // rep of its own bucket, so m's own hash maps back to component m),
+    // and the null-hash bucket never matched the old inner hash-join —
+    // so broadcast-semi-join those <= 65,536 ids back on the id column
+    // instead of re-evaluating simhash16 over the corpus a second time.
+    val survivors = bucketReps.join(comp, Seq("__rep__"), "left")
+      .filter(col("__sh__").isNotNull)
+      .select(coalesce(col("component"), col("__rep__")).as(idCol))
+      .distinct()
+    df.join(broadcast(survivors), Seq(idCol), "left_semi")
   }
 
   /**

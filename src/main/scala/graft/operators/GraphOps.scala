@@ -64,7 +64,12 @@ object GraphOps {
    */
   def bfsLevels(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
                 reliable: Boolean = false): DataFrame = {
-    val e = edges.select(col("src"), col("target"))
+    // persisted: every BFS iteration joins the frontier against the edge
+    // list, and without the persist each iteration re-derives it from
+    // source (for the gate graphs that includes a full distinct shuffle
+    // per iteration). Pure cache, released by the caller's Caches scope.
+    val e = graft.core.Caches.track(edges.select(col("src"), col("target"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var levels = roots.select(col("node_id")).distinct()
       .withColumn("level", lit(0))
     var frontier = levels
@@ -100,7 +105,13 @@ object GraphOps {
    */
   def removeDanglingEdges(edges: DataFrame, retainIds: Seq[String],
                           maxIter: Int = 10): DataFrame = {
-    var e = edges
+    // persisted: the first iteration reads the input edges twice (the
+    // src-set distinct AND the prune join probe side) — without the
+    // persist both evaluate the upstream lineage from source. Later
+    // iterations read the previous iteration's own cache instead. Pure
+    // cache, released by the caller's Caches scope.
+    var e = graft.core.Caches.track(edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var cached: DataFrame = null
     var prevCount = -1L
     var i = 0
@@ -198,8 +209,15 @@ object GraphOps {
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
-    val sym = chk(edges.select(col("src").as("a"), col("target").as("b"))
-      .union(edges.select(col("target").as("a"), col("src").as("b")))
+    // symmetric view via ONE explode pass, not union(edges, swapped):
+    // a self-union evaluates the upstream lineage twice in the same job,
+    // and CC callers feed it expensive lineages (the full MinHash
+    // signature pipeline, a distributed ordinal) — measured as the
+    // dominant cost of the dedup-CC gates before this change
+    val sym = chk(edges.select(explode(array(
+        struct(col("src").as("a"), col("target").as("b")),
+        struct(col("target").as("a"), col("src").as("b")))).as("__e__"))
+      .select(col("__e__.a").as("a"), col("__e__.b").as("b"))
       .distinct(), reliable)
     val labels0 = chk(sym.select(col("a").as("node_id")).distinct()
       .withColumn("component", col("node_id")), reliable)

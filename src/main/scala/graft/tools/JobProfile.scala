@@ -18,6 +18,7 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
@@ -26,8 +27,21 @@ object JobProfile {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskTimeMs = new AtomicLong
+    // SPARK_GRAFT_JOB_LOG=1: one line per job with duration + callsite,
+    // to attribute an iterative gate's wall time to its individual jobs
+    val jobLog = sys.env.get("SPARK_GRAFT_JOB_LOG").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobLog) jobStart.put(e.jobId, (e.time,
+          Option(e.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = if (jobLog) {
+        Option(jobStart.remove(e.jobId)).foreach { case (t0, cs) =>
+          println(f"  [job] ${e.jobId}%4d ${(e.time - t0) / 1e3}%7.2fs  $cs")
+        }
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
