@@ -57,8 +57,15 @@ object WindowOps {
    * near-unique (timestamps, the likeliest real input).
    */
   private def ordinals(distinct: DataFrame, winCol: String): DataFrame =
-    XDF.globalOrdinal(distinct, Seq(col(winCol)), "__ord__")
-      .withColumn("__ord__", col("__ord__") - 1)
+    ordinalsWithCount(distinct, winCol)._1
+
+  /** [[ordinals]] plus the distinct cardinality, read off the ordinal
+    * machinery's per-partition counts — saves the callers' separate
+    * count job over the distinct frame. */
+  private def ordinalsWithCount(distinct: DataFrame, winCol: String): (DataFrame, Long) = {
+    val (d, n) = XDF.globalOrdinalWithCount(distinct, Seq(col(winCol)), "__ord__")
+    (d.withColumn("__ord__", col("__ord__") - 1), n)
+  }
 
   /** Distinct-cardinality guard for the ordinal-join build side: broadcast
     * only while the distinct window values stay modest (an unconditional
@@ -81,12 +88,11 @@ object WindowOps {
     // null winCol rows are excluded up front: a null would take an ordinal
     // in distinctVals but never match the equi-join, silently losing rows
     // AND misaligning every window after it
-    val distinctVals = ordinals(df.filter(col(winCol).isNotNull)
+    val (distinctVals, n) = ordinalsWithCount(df.filter(col(winCol).isNotNull)
       .select(col(winCol).cast(StringType).as(winCol)).distinct(), winCol)
     // only COMPLETE windows exist (reference dataframe.py:676-678 assigns
     // win_index only while num_values - win_index >= winsize): valid
     // window starts are 0 .. n-winSize
-    val n = distinctVals.count()
     val maxStart = n - winSize
     if (maxStart < 0)
       return df.sparkSession.createDataFrame(
@@ -118,11 +124,11 @@ object WindowOps {
   def windowAggregate(df: DataFrame, winCol: String, aggCols: Seq[String],
                       aggFuncs: Seq[String], winSize: Int): DataFrame = {
     // null winCol rows excluded for the same reason as the sliding variant
-    val distinctVals = ordinals(df.filter(col(winCol).isNotNull)
-        .select(col(winCol).cast(StringType).as(winCol)).distinct(), winCol)
+    val (ord, n) = ordinalsWithCount(df.filter(col(winCol).isNotNull)
+      .select(col(winCol).cast(StringType).as(winCol)).distinct(), winCol)
+    val distinctVals = ord
       .withColumn("__win__", floor(col("__ord__") / winSize))
       .drop("__ord__")
-    val n = distinctVals.count()
     val tagged = df.withColumn(winCol, col(winCol).cast(StringType))
       .join(maybeBroadcast(distinctVals, n), Seq(winCol), "inner")
     val label = concat_ws(" - ", min(col(winCol)), max(col(winCol)))

@@ -768,15 +768,16 @@ case class XDF(df: DataFrame) {
     * Needs a global row id on both sides — inherently a full sort at
     * scale; kept for parity. Order defined by `orderCols` per side. */
   def concatAsCols(other: XDF, orderCols: Seq[String], otherOrderCols: Seq[String]): XDF = {
-    // fail fast on cardinality mismatch like the reference
-    // (dataframe.py:2561-2562) — an inner zip would silently truncate
-    val (ln, rn) = (df.count(), other.df.count())
-    require(ln == rn, s"concatAsCols row-count mismatch: $ln vs $rn")
     // "-col" prefix = descending
     def sortExprs(oc: Seq[String]) = oc.map(c =>
       if (c.startsWith("-")) col(c.substring(1)).desc else col(c).asc)
-    val l = XDF.globalOrdinal(df, sortExprs(orderCols), "__zip_id__")
-    val r = XDF.globalOrdinal(other.df, sortExprs(otherOrderCols), "__zip_id__")
+    val (l, ln) = XDF.globalOrdinalWithCount(df, sortExprs(orderCols), "__zip_id__")
+    val (r, rn) = XDF.globalOrdinalWithCount(other.df, sortExprs(otherOrderCols), "__zip_id__")
+    // fail fast on cardinality mismatch like the reference
+    // (dataframe.py:2561-2562) — an inner zip would silently truncate.
+    // Counts come from the ordinal machinery's own per-partition counts,
+    // not two extra full scans of the inputs.
+    require(ln == rn, s"concatAsCols row-count mismatch: $ln vs $rn")
     XDF(l.join(r, Seq("__zip_id__"), "inner").drop("__zip_id__"))
   }
 
@@ -1024,7 +1025,15 @@ object XDF {
    */
   private[graft] def globalOrdinal(d: DataFrame, sortExprs: Seq[Column],
                                    outCol: String): DataFrame =
-    scanOrdinal(
+    globalOrdinalWithCount(d, sortExprs, outCol)._1
+
+  /** [[globalOrdinal]] plus the input's row count, read off the ordinal
+    * machinery's own per-partition counts — callers that need the
+    * cardinality anyway (zip validation, window sizing) save a whole
+    * count job over the input. */
+  private[graft] def globalOrdinalWithCount(d: DataFrame, sortExprs: Seq[Column],
+                                            outCol: String): (DataFrame, Long) =
+    scanOrdinalWithCount(
       d.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*),
       outCol, base = 1L)
 
@@ -1041,7 +1050,11 @@ object XDF {
     * — map-side, no shuffle, O(1) per-row lookup at any partition
     * count. */
   private[graft] def scanOrdinal(d: DataFrame, outCol: String,
-                                 base: Long = 0L): DataFrame = {
+                                 base: Long = 0L): DataFrame =
+    scanOrdinalWithCount(d, outCol, base)._1
+
+  private[graft] def scanOrdinalWithCount(d: DataFrame, outCol: String,
+                                          base: Long = 0L): (DataFrame, Long) = {
     import org.apache.spark.sql.functions._
     val spark = d.sparkSession
     val marked = d
@@ -1055,9 +1068,10 @@ object XDF {
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
     import spark.implicits._
     val offsetsDf = pids.map(p => (p, offsets(p))).toDF("__pid__", "__off__")
-    marked.join(broadcast(offsetsDf), Seq("__pid__"), "left")
+    val out = marked.join(broadcast(offsetsDf), Seq("__pid__"), "left")
       .withColumn(outCol, coalesce(col("__off__"), lit(0L)) + col("__pos__") + lit(base))
       .drop("__mid__", "__pid__", "__pos__", "__off__")
+    (out, counts.values.sum)
   }
   def apply(spark: SparkSession, path: String): XDF = XDF(spark.read.parquet(path))
 

@@ -44,6 +44,27 @@ object GraphOps {
     finally conf.set(key, prev)
   }
 
+  /** [[chk]] plus one aggregate metric computed DURING the checkpoint's
+    * materialization job via `Dataset.observe` — the loops below need a
+    * fixpoint probe every round, and a separate `count()` over the new
+    * leaf costs a full Catalyst plan + job per round (measured: about
+    * half of a small-graph closure gate's wall time is driver planning
+    * between jobs, and the probe is one of the two plans per round).
+    * The metric must be null-safe on an empty frame (sum -> null):
+    * missing/null reads as 0. */
+  private def chkWithMetric(df: DataFrame, metric: Column,
+                            reliable: Boolean): (DataFrame, Long) = {
+    val observed = df.observe("__chk_probe__", metric.as("m"))
+    val out = chk(observed, reliable)
+    val v = observed.queryExecution.observedMetrics.get("__chk_probe__")
+      .flatMap(r => Option(r.get(0))).map {
+        case l: java.lang.Long    => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case x                    => x.toString.toLong
+      }.getOrElse(0L)
+    (out, v)
+  }
+
   /** Unpersist a superseded localCheckpoint's blocks (no-op for reliable
     * checkpoint files). `Dataset.unpersist` only clears cache-manager
     * entries — a localCheckpoint's blocks belong to the RDD inside the
@@ -78,13 +99,17 @@ object GraphOps {
     while (i < maxIter && !done) {
       // checkpoint: materializes the frontier AND truncates lineage,
       // so iteration depth never grows the plan (a cache alone leaves a
-      // recursive DAG that re-plans ever larger each round)
-      val next = chk(frontier.join(e, frontier("node_id") === e("src"), "inner")
-        .select(col("target").as("node_id"), (col("level") + 1).as("level"))
-        .join(levels.select(col("node_id").as("seen")),
-          col("node_id") === col("seen"), "left_anti")
-        .groupBy("node_id").agg(min("level").as("level")), reliable)
-      if (next.isEmpty) done = true
+      // recursive DAG that re-plans ever larger each round); the
+      // emptiness probe rides the same job (chkWithMetric), not a
+      // separate isEmpty plan+job per round
+      val (next, n) = chkWithMetric(
+        frontier.join(e, frontier("node_id") === e("src"), "inner")
+          .select(col("target").as("node_id"), (col("level") + 1).as("level"))
+          .join(levels.select(col("node_id").as("seen")),
+            col("node_id") === col("seen"), "left_anti")
+          .groupBy("node_id").agg(min("level").as("level")),
+        count(lit(1)), reliable)
+      if (n == 0L) done = true
       else {
         levels = levels.union(next)
         frontier = next
@@ -250,14 +275,19 @@ object GraphOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: component <- component's component. Labels are
       // node ids, so the lookup is a self-join on the hopped labels.
-      val next = chk(hopped.join(
+      // The change-count probe rides the checkpoint job (chkWithMetric)
+      // instead of a separate count plan+job per round; it still runs
+      // every round, including the last allowed one: a loop that exits
+      // at maxIter while labels are still moving has NON-MINIMAL labels
+      // — components silently split (same contract as ancestorClosure).
+      val (next, changed2) = chkWithMetric(hopped.join(
           hopped.select(col("node_id").as("component"),
             col("component").as("__cc__")),
           Seq("component"), "left")
         .select(col("node_id"),
           coalesce(col("__cc__"), col("component")).as("component"),
           (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__")),
-        reliable)
+        sum(when(col("__chg__"), 1L).otherwise(0L)), reliable)
       // `next` is materialized (checkpoint is eager) with truncated
       // lineage — the intra-round cache and the superseded label frame
       // are dead weight now; without the release up to ~2*maxIter block
@@ -265,12 +295,7 @@ object GraphOps {
       hopped.unpersist(false)
       if (prev != null) release(prev)
       prev = if (labels eq labels0) null else labels // labels0 never returned early, but keep release simple
-      // the probe runs every round, including the last allowed one: a
-      // loop that exits at maxIter while labels are still moving has
-      // NON-MINIMAL labels — components silently split. Throw instead
-      // (same contract as ancestorClosure); the probe is one count over
-      // the already-checkpointed frame.
-      changed = next.filter(col("__chg__")).count()
+      changed = changed2
       changedSet = next.filter(col("__chg__")).select(col("node_id"), col("component"))
       labels = next.drop("__chg__")
       i += 1
@@ -331,12 +356,14 @@ object GraphOps {
       val contrib = paths.join(e, paths("node_id") === e("src"), "inner")
         .groupBy(col("target").as("node_id"))
         .agg(sum("n_paths").as("n_paths"))
-      val next = chk(base.select(col("node_id"), col("n_paths"))
-        .unionByName(contrib.select(col("node_id"), col("n_paths")))
-        .groupBy("node_id").agg(sum("n_paths").as("n_paths")), reliable)
-      // sum over an empty frame is NULL, not 0 (empty roots input)
-      val total = Option(next.agg(sum("n_paths")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // fixpoint probe (total path count) rides the checkpoint job as an
+      // observed metric; chkWithMetric reads a NULL sum (empty roots
+      // input) as 0
+      val (next, total) = chkWithMetric(
+        base.select(col("node_id"), col("n_paths"))
+          .unionByName(contrib.select(col("node_id"), col("n_paths")))
+          .groupBy("node_id").agg(sum("n_paths").as("n_paths")),
+        sum("n_paths"), reliable)
       if (total == prevTotal) done = true
       prevTotal = total
       if (!(paths eq base)) release(paths) // superseded round's blocks
@@ -375,11 +402,15 @@ object GraphOps {
   def ancestorClosure(edges: DataFrame, maxIter: Int = 20,
                       reliable: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("target"))
-    var pairs = chk(e.select(col("target").as("node_id"), col("src").as("anc"))
-      .distinct().withColumn("__dist__", lit(1L)), reliable)
+    // the initial emptiness probe rides the seeding checkpoint job
+    val (pairs0, n0) = chkWithMetric(
+      e.select(col("target").as("node_id"), col("src").as("anc"))
+        .distinct().withColumn("__dist__", lit(1L)),
+      count(lit(1)), reliable)
+    var pairs = pairs0
     var i = 0
     var pow = 1L // frontier distance composed this round
-    var converged = pairs.isEmpty
+    var converged = n0 == 0L
     while (i < maxIter && !converged) {
       // frontier (m reached-by a at exactly 2^i) ∧ (n reached-by m)
       //   =>  (n reached-by a at 2^i + dist(m, n))
@@ -389,15 +420,17 @@ object GraphOps {
           (col("p.__dist__") + lit(pow)).as("__dist__"))
         .groupBy("node_id", "anc").agg(min("__dist__").as("__dist__"))
       // fused round: ONE checkpoint materializes pairs ∪ fresh carrying a
-      // __new__ flag, and the fixpoint probe is a count over that already-
-      // materialized leaf. The previous shape (checkpoint fresh, isEmpty,
-      // checkpoint the union) paid three eager jobs per doubling round —
-      // pure scheduler cadence that dominated wall time on small graphs
-      // and adds a fixed tax per round at any scale.
-      val grown = chk(pairs.withColumn("__new__", lit(false))
-        .unionByName(doubled.join(pairs, Seq("node_id", "anc"), "left_anti")
-          .withColumn("__new__", lit(true))), reliable)
-      val freshCnt = grown.filter(col("__new__")).count()
+      // __new__ flag, and the fixpoint probe rides that same job as an
+      // observed metric (chkWithMetric). The original shape (checkpoint
+      // fresh, isEmpty, checkpoint the union) paid three eager plans+jobs
+      // per doubling round; the count-over-the-leaf variant still paid
+      // two — pure driver cadence that dominated wall time on small
+      // graphs and adds a fixed tax per round at any scale.
+      val (grown, freshCnt) = chkWithMetric(
+        pairs.withColumn("__new__", lit(false))
+          .unionByName(doubled.join(pairs, Seq("node_id", "anc"), "left_anti")
+            .withColumn("__new__", lit(true))),
+        sum(when(col("__new__"), 1L).otherwise(0L)), reliable)
       release(pairs)
       pairs = grown.select(col("node_id"), col("anc"), col("__dist__"))
       converged = freshCnt == 0L
@@ -464,26 +497,31 @@ object GraphOps {
       .withColumn("__hp__", lit(true))
     var completed = List.empty[DataFrame]
     var frames = List.empty[DataFrame]
-    var active = chk(edges.select(col("target")).distinct()
+    // both loop probes (initial frontier size, per-hop open count) ride
+    // their frame's checkpoint job as observed metrics — no separate
+    // count plan+job per hop
+    val (active0, nActive0) = chkWithMetric(edges.select(col("target")).distinct()
       .select(col("target").as("dest"), col("target").as("head"),
-        col("target").cast(StringType).as("path")), reliable)
+        col("target").cast(StringType).as("path")),
+      count(lit(1)), reliable)
+    var active = active0
     frames ::= active
-    var nActive = active.count()
+    var nActive = nActive0
     var i = 0
     while (i < maxIter && nActive > 0L) {
-      val step = chk(active.join(
+      val (step, nOpen) = chkWithMetric(active.join(
           fwd.select(col("target").as("head"), col("src").as("__par__")),
           Seq("head"), "left")
         .join(hasParents, Seq("head"), "left")
         .select(col("dest"), col("path"), col("__par__"), col("__hp__")),
-        reliable)
+        sum(when(col("__par__").isNotNull, 1L).otherwise(0L)), reliable)
       frames ::= step
       completed ::= step.filter(col("__par__").isNull && col("__hp__").isNull)
         .select(col("dest"), col("path"))
       active = step.filter(col("__par__").isNotNull)
         .select(col("dest"), col("__par__").as("head"),
           concat(col("path"), lit(sep), col("__par__")).as("path"))
-      nActive = step.filter(col("__par__").isNotNull).count()
+      nActive = nOpen
       i += 1
     }
     // fwd is cycle-free by construction (every cycle edge is a back edge),
@@ -562,11 +600,13 @@ object GraphOps {
         .filter(col("__dom__").isNull || col("__l__") < col("__dom__"))
         .drop("__dom__")
     }
-    var pairs = chk(prune(e.select(col("target").as("node_id"),
+    // initial emptiness probe rides the seeding checkpoint job
+    val (pairs0, n0) = chkWithMetric(prune(e.select(col("target").as("node_id"),
       col("src").as("anc"), col("__ts__").as("__f__"),
-      col("__ts__").as("__l__"))), reliable)
+      col("__ts__").as("__l__"))), count(lit(1)), reliable)
+    var pairs = pairs0
     var i = 0
-    var converged = pairs.isEmpty
+    var converged = n0 == 0L
     while (i < maxIter && !converged) {
       // compose: p = anc -> v (f1, l1), q = v -> w (f2 >= l1, l2)
       //          =>  anc -> w (f1, l2)
@@ -580,12 +620,12 @@ object GraphOps {
       // the round's single checkpoint as a left-join flag against the
       // previous (already materialized) Pareto set — pairs is unique on
       // (node_id, anc, __f__, __l__), so the join cannot multiply rows —
-      // and the convergence test is a cheap count over the new leaf,
-      // not a second full anti-join job.
-      val next = chk(prune(pairs.unionByName(composed))
+      // and the convergence count rides the same job as an observed
+      // metric, not a second plan+job over the new leaf.
+      val (next, freshCnt) = chkWithMetric(prune(pairs.unionByName(composed))
         .join(pairs.withColumn("__old__", lit(true)),
-          Seq("node_id", "anc", "__f__", "__l__"), "left"), reliable)
-      val freshCnt = next.filter(col("__old__").isNull).count()
+          Seq("node_id", "anc", "__f__", "__l__"), "left"),
+        sum(when(col("__old__").isNull, 1L).otherwise(0L)), reliable)
       release(pairs)
       pairs = next.select(col("node_id"), col("anc"), col("__f__"), col("__l__"))
       converged = freshCnt == 0L
