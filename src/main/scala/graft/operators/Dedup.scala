@@ -86,10 +86,15 @@ object Dedup {
         .as(s"__mh${i}__")
     }
     val sig = withLanes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    // band_key as 16-byte BINARY (unhex of the md5 hex), not the 32-char
+    // hex string: the key exists only to be grouped/joined on inside
+    // bucketMinJoin, and halving it halves the banded frame's shuffle
+    // and cache bytes (guide: shuffle narrower types). hex <-> binary is
+    // bijective, so bucket membership is unchanged.
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          col(s"__mh${b * rowsPerBand + r}__")): _*)).as("band_key"))
+        unhex(md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"__mh${b * rowsPerBand + r}__")): _*))).as("band_key"))
     }: _*)
     sig.select(col(idCol), explode(bandStructs).as("b"))
       .select(col(idCol), col("b.band"), col("b.band_key"))
@@ -552,10 +557,13 @@ object Dedup {
     // above guarantees the expression's short-document whole-doc
     // fallback shingle never fires, so grams match the slice formulation
     // exactly (multiset-verified at sf1).
+    // gram hash as 16-byte BINARY (unhex of the md5 hex): the hash is
+    // grouped/joined on and never surfaced, and binary halves the
+    // shuffled and cached bytes vs the 32-char hex string
     val grams = graft.core.Caches.track(df
       .filter(length(col(textCol)) > 0 && size(toks) >= n)
       .select(col(idCol), posexplode(transform(
-        TextOps.wordShingles(col(textCol), n), s => md5(s))))
+        TextOps.wordShingles(col(textCol), n), s => unhex(md5(s)))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // capped two-distinct-docs test: min/max doc per gram differ <=>

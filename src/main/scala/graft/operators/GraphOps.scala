@@ -203,8 +203,14 @@ object GraphOps {
   def mergeSimilarLeafNodes(edges: DataFrame,
                             similarityKey: DataFrame => Column): DataFrame = {
     val srcs = edges.select(col("src").as("__s__")).distinct()
-    val tagged = edges.join(srcs, edges("target") === col("__s__"), "left")
-      .withColumn("__is_leaf__", col("__s__").isNull).drop("__s__")
+    // persisted: BOTH output branches (leaves, non-leaves) read `tagged`,
+    // and without the persist each re-executes the leaf-marking join —
+    // two shuffles of the edge list where one suffices. Pure cache,
+    // released by the caller's Caches scope.
+    val tagged = graft.core.Caches.track(
+      edges.join(srcs, edges("target") === col("__s__"), "left")
+        .withColumn("__is_leaf__", col("__s__").isNull).drop("__s__")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val leaves = tagged.filter(col("__is_leaf__"))
       .withColumn("__simkey__", similarityKey(tagged))
       .groupBy(col("src"), col("__simkey__"))
@@ -691,15 +697,24 @@ object GraphOps {
   def applyTimeOrderBasedFilter(edges: DataFrame, tsCol: String,
                                 retainedIds: Seq[String],
                                 strictOrdering: Boolean = false): DataFrame = {
-    val minMax = edges.groupBy(col("src"), col("target"))
-      .agg(min(col(tsCol).cast(LongType)).as("ts_min"),
-        max(col(tsCol).cast(LongType)).as("ts_max"))
+    // minMax feeds both sides of the adjacency self-join; pairs feeds
+    // three consumers (left flags, right flags, the judged filter) —
+    // persist both so the per-edge aggregate runs once and the adjacency
+    // join once, instead of 2x and 3x. Pure caches, released by the
+    // caller's Caches scope.
+    val minMax = graft.core.Caches.track(
+      edges.groupBy(col("src"), col("target"))
+        .agg(min(col(tsCol).cast(LongType)).as("ts_min"),
+          max(col(tsCol).cast(LongType)).as("ts_max"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val left = minMax.select(col("src").as("l_src"), col("target").as("l_tgt"),
       col("ts_min").as("l_min"), col("ts_max").as("l_max"))
     val right = minMax.select(col("src").as("r_src"), col("target").as("r_tgt"),
       col("ts_min").as("r_min"), col("ts_max").as("r_max"))
-    val pairs = left.join(right, col("l_tgt") === col("r_src"))
-      .withColumn("__ok__", (col("l_min") <= col("r_max")).cast(IntegerType))
+    val pairs = graft.core.Caches.track(
+      left.join(right, col("l_tgt") === col("r_src"))
+        .withColumn("__ok__", (col("l_min") <= col("r_max")).cast(IntegerType))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val leftFlag = pairs.groupBy(col("l_src"), col("l_tgt"))
       .agg(max("__ok__").as("__l_any_ok__"))
     val rightFlag = pairs.groupBy(col("r_src"), col("r_tgt"))
