@@ -250,7 +250,14 @@ object Dedup {
     * treated as duplicates; min doc id represents the cluster. Per-hash
     * minimum is a map-side-combinable groupBy + join-back, never a window
     * over the hash (simhash16 has only 65,536 distinct values — a window
-    * partition would concentrate corpus-scale row groups on one task). */
+    * partition would concentrate corpus-scale row groups on one task).
+    *
+    * PRECONDITION: `idCol` values must be unique (the operator's contract —
+    * "min doc id represents the cluster" — is meaningless otherwise). The
+    * one-scan survivor semi-join below keeps rows BY ID; with duplicate
+    * ids the legacy two-scan formulation additionally required the row's
+    * own hash to match its representative's, so outputs would diverge
+    * (ADVICE r18). Same precondition applies to [[simhashDedupHamming]]. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Survivors are EXACTLY the distinct per-hash minimum ids (ids are
     // unique by the operator's contract — "min doc id represents the

@@ -50,20 +50,93 @@ object GraphOps {
     * leaf costs a full Catalyst plan + job per round (measured: about
     * half of a small-graph closure gate's wall time is driver planning
     * between jobs, and the probe is one of the two plans per round).
-    * The metric must be null-safe on an empty frame (sum -> null):
-    * missing/null reads as 0. */
+    * The metric must be null-safe on an empty frame (sum -> null): a
+    * present-but-null value reads as 0, but a MISSING metric entry is an
+    * engine-contract breach (CollectMetricsExec failed to surface the
+    * node) and THROWS — reading it as 0 would make every iterative loop
+    * silently "converge" on round 1 with wrong results (ADVICE r18).
+    *
+    * Exactness note: probes that compare VALUE SUMS across rounds (e.g.
+    * forwardPaths' total-path fixpoint) additionally assume observed
+    * metrics are exact — true here because speculative execution is off
+    * in every shipped session config; a speculatively re-run task can
+    * double-count into a `Dataset.observe` accumulator. */
   private def chkWithMetric(df: DataFrame, metric: Column,
                             reliable: Boolean): (DataFrame, Long) = {
-    val observed = df.observe("__chk_probe__", metric.as("m"))
+    val (out, vs) = chkWithMetrics(df, Seq(metric), reliable)
+    (out, vs.head)
+  }
+
+  /** [[chkWithMetric]] for several aggregates riding the same checkpoint
+    * job (the loops below need a fixpoint probe AND the frame's row count
+    * — the count sizes the next round's partitioning, see [[loopN]]). */
+  private def chkWithMetrics(df: DataFrame, metrics: Seq[Column],
+                             reliable: Boolean): (DataFrame, Seq[Long]) = {
+    val observed = df.observe("__chk_probe__",
+      metrics.head.as("m0"), metrics.tail.zipWithIndex.map {
+        case (m, i) => m.as(s"m${i + 1}") }: _*)
     val out = chk(observed, reliable)
-    val v = observed.queryExecution.observedMetrics.get("__chk_probe__")
-      .flatMap(r => Option(r.get(0))).map {
+    val row = observed.queryExecution.observedMetrics.getOrElse("__chk_probe__",
+      throw new IllegalStateException(
+        "chkWithMetric: '__chk_probe__' missing from observedMetrics after " +
+          "checkpoint materialization — the fixpoint probe did not run; " +
+          "refusing to treat it as converged"))
+    val vs = metrics.indices.map { i =>
+      Option(row.get(i)).map {
         case l: java.lang.Long    => l.longValue
-        case i: java.lang.Integer => i.longValue
+        case i2: java.lang.Integer => i2.longValue
         case x                    => x.toString.toLong
       }.getOrElse(0L)
-    (out, v)
+    }
+    (out, vs)
   }
+
+  /** Declare the hash partitioning a checkpointed leaf is KNOWN to carry.
+    * `Dataset.localCheckpoint` documents partitioning preservation, but
+    * under AQE the capture reads `UnknownPartitioning` (Spark 4.1.2,
+    * measured by graft.tools.PartProbe) — so every loop round's join
+    * against the leaf re-shuffled it. The caller must have produced `df`
+    * from a plan whose FINAL exchange is `repartition(n, keys)` followed
+    * only by partition-preserving operators (filter/project/hash-agg on a
+    * superset of `keys`/window/observe) — then the materialized layout is
+    * exactly HashPartitioning(keys, n) and declaring it only restores
+    * what the engine dropped (the bridge re-checks the partition count). */
+  private def declared(df: DataFrame, keys: Seq[String], n: Int): DataFrame =
+    org.apache.spark.sql.graft.bridge.withDeclaredHashPartitioning(df, keys, n)
+
+  /** Partition count of a materialized checkpoint leaf — a free,
+    * data-adaptive size reading (AQE already coalesced the leaf's final
+    * shuffle from its actual bytes): no job, no driver collect. */
+  private def leafN(df: DataFrame): Int = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getNumPartitions
+    case _ => df.rdd.getNumPartitions
+  }
+
+  /** Scale-adaptive loop partition count: sized from the frame's observed
+    * row count (the checkpoint's fused count metric — free), targeting
+    * `graft.loop.rowsPerPartition` rows per partition (default 1M, about
+    * 10-100 MB for typical edge/label rows), capped by the session's
+    * shuffle-partition sizing so a cluster's knob governs the ceiling.
+    * Never a constant tuned to either local mode or one cluster. */
+  private def loopN(df: DataFrame, rows: Long): Int = {
+    val conf = df.sparkSession.conf
+    val rowsPer = math.max(1L,
+      conf.get("graft.loop.rowsPerPartition", "1000000").toLong)
+    math.max(1, math.min(loopNCap(df), ((rows + rowsPer - 1) / rowsPer).toInt))
+  }
+
+  /** Ceiling for [[loopN]] and the sizing of seed frames whose row count
+    * is not yet known: the session's shuffle-partition knob — the same
+    * sizing every non-loop exchange starts from. */
+  private def loopNCap(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Seed partition count before any row count is observable: the input
+    * plan's own partition count (scan parallelism is sized from input
+    * bytes — data-adaptive at every scale), capped by the session knob.
+    * Reading it plans the RDD but runs no job. */
+  private def seedN(df: DataFrame): Int =
+    math.max(1, math.min(loopNCap(df), df.rdd.getNumPartitions))
 
   /** Unpersist a superseded localCheckpoint's blocks (no-op for reliable
     * checkpoint files). `Dataset.unpersist` only clears cache-manager
@@ -134,9 +207,15 @@ object GraphOps {
     // src-set distinct AND the prune join probe side) — without the
     // persist both evaluate the upstream lineage from source. Later
     // iterations read the previous iteration's own cache instead. Pure
-    // cache, released by the caller's Caches scope.
-    var e = graft.core.Caches.track(edges.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // cache, released by the caller's Caches scope. The persist target is
+    // a DERIVED projection (select of the input's own columns), never the
+    // caller-owned frame itself: persisting `edges` directly would let
+    // this scope's release unpersist a cache the caller created for its
+    // own reuse (ADVICE r18 — Spark treats the second persist as a no-op
+    // and the single unpersist drops both).
+    var e = graft.core.Caches.track(
+      edges.select(edges.columns.map(col).toSeq: _*).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var cached: DataFrame = null
     var prevCount = -1L
     var i = 0
@@ -244,14 +323,35 @@ object GraphOps {
     // a self-union evaluates the upstream lineage twice in the same job,
     // and CC callers feed it expensive lineages (the full MinHash
     // signature pipeline, a distributed ordinal) — measured as the
-    // dominant cost of the dedup-CC gates before this change
-    val sym = chk(edges.select(explode(array(
+    // dominant cost of the dedup-CC gates before this change (round 18)
+    val sym0 = chk(edges.select(explode(array(
         struct(col("src").as("a"), col("target").as("b")),
         struct(col("target").as("a"), col("src").as("b")))).as("__e__"))
       .select(col("__e__.a").as("a"), col("__e__.b").as("b"))
       .distinct(), reliable)
-    val labels0 = chk(sym.select(col("a").as("node_id")).distinct()
-      .withColumn("component", col("node_id")), reliable)
+    // round 19 (verdict item 3): ALL loop frames share ONE hash layout so
+    // the per-round joins start co-partitioned and stop re-shuffling.
+    // nSym is data-adaptive — AQE already sized sym0's materialization
+    // from its bytes, so reading the leaf's partition count is a free,
+    // scale-correct answer (1 on a toy graph, input-sized on a corpus).
+    // The edge view is re-checkpointed ONCE partitioned by the join side
+    // `b` and the partitioning is DECLARED on the leaf (localCheckpoint
+    // drops it under AQE — see `declared`); labels/frontier leaves carry
+    // hash(node_id, nSym) the same way. Measured effect: the frontier
+    // join and the labels join plan ZERO exchanges; only the aggregation,
+    // the doubling self-join's left side and the final layout repartition
+    // move data — jobs per round drop from ~9 to ~4 and the corpus-sized
+    // edge view is never shuffled again after setup (guide §2.4).
+    val nSym = leafN(sym0)
+    val sym = declared(chk(sym0.repartition(nSym, col("b")), reliable),
+      Seq("b"), nSym)
+    release(sym0)
+    // node set from the `b` side (sym is symmetric, so {a} == {b}): the
+    // leaf is already hash(b)-partitioned, making the distinct free
+    val labels0 = declared(chk(
+      sym.select(col("b").as("node_id")).distinct()
+        .withColumn("component", col("node_id")), reliable),
+      Seq("node_id"), nSym)
     var labels = labels0
     var prev: DataFrame = null // superseded label frame, released each round
     var i = 0
@@ -259,13 +359,17 @@ object GraphOps {
     // delta propagation: only labels lowered LAST round can lower a
     // neighbor this round — a stable neighbor's label was already folded
     // into v's min when it last changed (round 1 seeds with everyone).
-    // The changed set collapses geometrically, so later rounds' edge
-    // joins build against a frame AQE promotes to broadcast: the edge
-    // list is scanned, never re-shuffled, once the frontier is small.
+    // The changed set collapses geometrically; it is a projection of the
+    // hash(node_id)-partitioned label leaf, so its join against the
+    // hash(b)-partitioned edge view is exchange-free at any size.
     var changedSet = labels0
     while (i < maxIter && changed > 0) {
       val nbrMin = sym.join(changedSet.select(col("node_id").as("b"), col("component")),
           Seq("b"), "inner")
+        // land the aggregation shuffle directly on the loop layout: a
+        // planner-chosen exchange would use the session default count and
+        // force a SECOND exchange to co-partition with the label leaf
+        .repartition(nSym, col("a"))
         .groupBy(col("a").as("node_id"))
         .agg(min(col("component")).as("__nbr_min__"))
       // persist, not checkpoint: the self-join below reads `hopped` twice
@@ -292,8 +396,10 @@ object GraphOps {
           Seq("component"), "left")
         .select(col("node_id"),
           coalesce(col("__cc__"), col("component")).as("component"),
-          (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__")),
+          (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__"))
+        .repartition(nSym, col("node_id")),
         sum(when(col("__chg__"), 1L).otherwise(0L)), reliable)
+      val nextD = declared(next, Seq("node_id"), nSym)
       // `next` is materialized (checkpoint is eager) with truncated
       // lineage — the intra-round cache and the superseded label frame
       // are dead weight now; without the release up to ~2*maxIter block
@@ -302,8 +408,8 @@ object GraphOps {
       if (prev != null) release(prev)
       prev = if (labels eq labels0) null else labels // labels0 never returned early, but keep release simple
       changed = changed2
-      changedSet = next.filter(col("__chg__")).select(col("node_id"), col("component"))
-      labels = next.drop("__chg__")
+      changedSet = nextD.filter(col("__chg__")).select(col("node_id"), col("component"))
+      labels = nextD.drop("__chg__")
       i += 1
     }
     // the last allowed round may itself have COMPLETED convergence, so
@@ -408,38 +514,59 @@ object GraphOps {
   def ancestorClosure(edges: DataFrame, maxIter: Int = 20,
                       reliable: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("target"))
-    // the initial emptiness probe rides the seeding checkpoint job
-    val (pairs0, n0) = chkWithMetric(
+    // round 19 (verdict item 3): every pair frame lives on an explicit
+    // hash(node_id, N) layout, declared on its checkpoint leaf (see
+    // `declared`), so the doubling join's frontier side plans ZERO
+    // exchanges round over round; N starts at the session's shuffle
+    // sizing and adapts to the observed closure size (loopN). The seed's
+    // dedup aggregate rides the layout exchange (subset clustering), and
+    // the emptiness probe rides the seeding checkpoint job.
+    val nSeed = seedN(e)
+    val (pairs0raw, seedVals) = chkWithMetrics(
       e.select(col("target").as("node_id"), col("src").as("anc"))
-        .distinct().withColumn("__dist__", lit(1L)),
-      count(lit(1)), reliable)
-    var pairs = pairs0
+        .repartition(nSeed, col("node_id"))
+        .dropDuplicates("node_id", "anc")
+        .withColumn("__dist__", lit(1L)),
+      Seq(count(lit(1))), reliable)
+    var pairs = declared(pairs0raw, Seq("node_id"), nSeed)
+    var rowsTotal = seedVals.head
     var i = 0
     var pow = 1L // frontier distance composed this round
-    var converged = n0 == 0L
+    var converged = rowsTotal == 0L
     while (i < maxIter && !converged) {
       // frontier (m reached-by a at exactly 2^i) ∧ (n reached-by m)
       //   =>  (n reached-by a at 2^i + dist(m, n))
+      // q side filters the hash(node_id)-partitioned leaf — its join key
+      // IS the layout, no exchange; only the p side moves (by anc).
       val doubled = pairs.filter(col("__dist__") === pow).as("q")
         .join(pairs.as("p"), col("q.node_id") === col("p.anc"))
         .select(col("p.node_id").as("node_id"), col("q.anc").as("anc"),
           (col("p.__dist__") + lit(pow)).as("__dist__"))
-        .groupBy("node_id", "anc").agg(min("__dist__").as("__dist__"))
-      // fused round: ONE checkpoint materializes pairs ∪ fresh carrying a
-      // __new__ flag, and the fixpoint probe rides that same job as an
-      // observed metric (chkWithMetric). The original shape (checkpoint
-      // fresh, isEmpty, checkpoint the union) paid three eager plans+jobs
-      // per doubling round; the count-over-the-leaf variant still paid
-      // two — pure driver cadence that dominated wall time on small
-      // graphs and adds a fixed tax per round at any scale.
-      val (grown, freshCnt) = chkWithMetric(
-        pairs.withColumn("__new__", lit(false))
-          .unionByName(doubled.join(pairs, Seq("node_id", "anc"), "left_anti")
-            .withColumn("__new__", lit(true))),
-        sum(when(col("__new__"), 1L).otherwise(0L)), reliable)
+      // fused round (r18 fused the probe into the checkpoint; r19 fuses
+      // the freshness anti-join into the round aggregate): ONE exchange
+      // lands old pairs ∪ raw candidates on the loop layout, ONE
+      // aggregate takes min(dist) and whether the pair existed before
+      // (max over the __old__ tag), and the fixpoint probe rides the
+      // same checkpoint job. min(dist) == the old dist for existing
+      // pairs — stored distances are exact shortest distances by the
+      // doubling induction, and any composed candidate is the length of
+      // SOME path, never shorter — so the frame is row-identical to the
+      // previous union ∪ anti-join formulation at every round.
+      val nNext = loopN(pairs, rowsTotal)
+      val (grown, vs) = chkWithMetrics(
+        pairs.withColumn("__old__", lit(true))
+          .unionByName(doubled.withColumn("__old__", lit(false)))
+          .repartition(nNext, col("node_id"))
+          .groupBy(col("node_id"), col("anc"))
+          .agg(min(col("__dist__")).as("__dist__"),
+            max(col("__old__")).as("__seen__")),
+        Seq(sum(when(!col("__seen__"), 1L).otherwise(0L)), count(lit(1))),
+        reliable)
       release(pairs)
-      pairs = grown.select(col("node_id"), col("anc"), col("__dist__"))
-      converged = freshCnt == 0L
+      pairs = declared(grown, Seq("node_id"), nNext)
+        .select(col("node_id"), col("anc"), col("__dist__"))
+      converged = vs(0) == 0L
+      rowsTotal = vs(1)
       pow *= 2L
       i += 1
     }
@@ -477,8 +604,16 @@ object GraphOps {
     val allClosure = ancestorClosure(e, maxIter, reliable)
     // forward edge: target is NOT an ancestor of src (and not a self-loop)
     val backEdges = allClosure.select(col("node_id").as("src"), col("anc").as("target"))
-    val fwd = chk(e.filter(col("src") =!= col("target"))
+    // fwd is loop-invariant and joined on `target` by every enumeration
+    // hop below — checkpoint it twice (round 19): once to learn its
+    // data-adaptive size, once repartitioned by target with the layout
+    // DECLARED on the leaf, so the per-hop joins stop re-shuffling it
+    val fwd0 = chk(e.filter(col("src") =!= col("target"))
       .join(backEdges, Seq("src", "target"), "left_anti"), reliable)
+    val nF = leafN(fwd0)
+    val fwd = declared(chk(fwd0.repartition(nF, col("target")), reliable),
+      Seq("target"), nF)
+    release(fwd0)
     val fwdClosure = ancestorClosure(fwd, maxIter, reliable)
 
     val srcPaths = fwdClosure.groupBy(col("node_id").as("target"))
@@ -499,18 +634,28 @@ object GraphOps {
     // materialized, because the completed-path union references them (a
     // released localCheckpoint cannot recompute — the release-early
     // version crashed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
-    val hasParents = e.select(col("target").as("head")).distinct()
-      .withColumn("__hp__", lit(true))
+    // loop-invariant, joined on `head` every hop: checkpointed ONCE on
+    // fwd's layout (r18 re-derived it — a distinct shuffle — per hop),
+    // so the per-hop parent-flag join plans zero exchanges
+    val hasParents = declared(chk(
+      e.select(col("target").as("head")).repartition(nF, col("head"))
+        .dropDuplicates("head").withColumn("__hp__", lit(true)), reliable),
+      Seq("head"), nF)
     var completed = List.empty[DataFrame]
     var frames = List.empty[DataFrame]
+    frames ::= hasParents
     // both loop probes (initial frontier size, per-hop open count) ride
     // their frame's checkpoint job as observed metrics — no separate
-    // count plan+job per hop
-    val (active0, nActive0) = chkWithMetric(edges.select(col("target")).distinct()
-      .select(col("target").as("dest"), col("target").as("head"),
-        col("target").cast(StringType).as("path")),
+    // count plan+job per hop. The seed frontier aliases `target` three
+    // ways from a frame laid out hash(target, nF); rows never move, so
+    // the leaf provably carries hash(head, nF) — declared so hop 1's
+    // three-way join on head is exchange-free on every side.
+    val (active0raw, nActive0) = chkWithMetric(
+      edges.select(col("target")).repartition(nF, col("target")).distinct()
+        .select(col("target").as("dest"), col("target").as("head"),
+          col("target").cast(StringType).as("path")),
       count(lit(1)), reliable)
-    var active = active0
+    var active = declared(active0raw, Seq("head"), nF)
     frames ::= active
     var nActive = nActive0
     var i = 0
@@ -606,13 +751,22 @@ object GraphOps {
         .filter(col("__dom__").isNull || col("__l__") < col("__dom__"))
         .drop("__dom__")
     }
-    // initial emptiness probe rides the seeding checkpoint job
-    val (pairs0, n0) = chkWithMetric(prune(e.select(col("target").as("node_id"),
-      col("src").as("anc"), col("__ts__").as("__f__"),
-      col("__ts__").as("__l__"))), count(lit(1)), reliable)
-    var pairs = pairs0
+    // round 19 (verdict item 3): pair frames live on an explicit
+    // hash(node_id, N) layout declared on their checkpoint leaves, so the
+    // composition join's p side (keyed node_id) never re-shuffles; prune's
+    // (node_id, anc, __f__) aggregate and (node_id, anc) window both ride
+    // the layout exchange (subset clustering). The initial emptiness
+    // probe rides the seeding checkpoint job.
+    val nSeed = seedN(e)
+    val (pairs0raw, seedVals) = chkWithMetrics(
+      prune(e.select(col("target").as("node_id"),
+        col("src").as("anc"), col("__ts__").as("__f__"),
+        col("__ts__").as("__l__")).repartition(nSeed, col("node_id"))),
+      Seq(count(lit(1))), reliable)
+    var pairs = declared(pairs0raw, Seq("node_id"), nSeed)
+    var rowsTotal = seedVals.head
     var i = 0
-    var converged = n0 == 0L
+    var converged = rowsTotal == 0L
     while (i < maxIter && !converged) {
       // compose: p = anc -> v (f1, l1), q = v -> w (f2 >= l1, l2)
       //          =>  anc -> w (f1, l2)
@@ -621,20 +775,38 @@ object GraphOps {
         .select(col("q.node_id").as("node_id"), col("p.anc").as("anc"),
           col("p.__f__").as("__f__"), col("q.__l__").as("__l__"))
       // content-based fixpoint: both sides are Pareto sets, so any change
-      // surfaces as a row in next that pairs lacks (a pure removal can
-      // only be caused by a new dominating row). The probe is FUSED into
-      // the round's single checkpoint as a left-join flag against the
-      // previous (already materialized) Pareto set — pairs is unique on
-      // (node_id, anc, __f__, __l__), so the join cannot multiply rows —
-      // and the convergence count rides the same job as an observed
-      // metric, not a second plan+job over the new leaf.
-      val (next, freshCnt) = chkWithMetric(prune(pairs.unionByName(composed))
-        .join(pairs.withColumn("__old__", lit(true)),
-          Seq("node_id", "anc", "__f__", "__l__"), "left"),
-        sum(when(col("__old__").isNull, 1L).otherwise(0L)), reliable)
+      // surfaces as a surviving row that pairs lacks (a pure removal can
+      // only be caused by a new dominating row). r18 fused the probe into
+      // the checkpoint; r19 fuses the freshness left-join into prune's own
+      // (node_id, anc, __f__) aggregate: __oldl__ = the OLD row's __l__
+      // for this (node_id, anc, __f__) group (pairs is unique on that key,
+      // so min-over-old reads exactly that row, null when absent), and a
+      // surviving row is fresh iff __oldl__ <=> __l__ fails — identical to
+      // "not found by the old four-key left join" because min(__l__) over
+      // old ∪ candidates equals the old value exactly when the old row
+      // attains the minimum, i.e. when the row survives unchanged.
+      val nNext = loopN(pairs, rowsTotal)
+      val unioned = pairs.withColumn("__old__", lit(true))
+        .unionByName(composed.withColumn("__old__", lit(false)))
+        .repartition(nNext, col("node_id"))
+      val byF = unioned.groupBy("node_id", "anc", "__f__")
+        .agg(min("__l__").as("__l__"),
+          min(when(col("__old__"), col("__l__"))).as("__oldl__"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node_id", "anc").orderBy(col("__f__").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val prunedTagged = byF.withColumn("__dom__", min("__l__").over(w))
+        .filter(col("__dom__").isNull || col("__l__") < col("__dom__"))
+        .select(col("node_id"), col("anc"), col("__f__"), col("__l__"),
+          (!(col("__oldl__") <=> col("__l__"))).as("__fresh__"))
+      val (next, vs) = chkWithMetrics(prunedTagged,
+        Seq(sum(when(col("__fresh__"), 1L).otherwise(0L)), count(lit(1))),
+        reliable)
       release(pairs)
-      pairs = next.select(col("node_id"), col("anc"), col("__f__"), col("__l__"))
-      converged = freshCnt == 0L
+      pairs = declared(next, Seq("node_id"), nNext)
+        .select(col("node_id"), col("anc"), col("__f__"), col("__l__"))
+      converged = vs(0) == 0L
+      rowsTotal = vs(1)
       i += 1
     }
     if (!converged)

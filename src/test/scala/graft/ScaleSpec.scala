@@ -10,9 +10,13 @@ class ScaleSpec extends SparkTestBase {
   test("bucketed tables co-locate the join: no exchange on either side") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val orders = (1 to 1000).map(i => (i % 50, i, i * 10.0))
+      // plan-property-sized fixture: the test proves an Exchange is ABSENT,
+      // which a 120-row bucketed table proves exactly as well as 1000 rows
+      // (round-19 verdict: the suite must fit the driver's budget even on a
+      // degraded box; the bucketed WRITE volume was the suite's slowest I/O)
+      val orders = (1 to 120).map(i => (i % 12, i, i * 10.0))
         .toDF("custkey", "orderkey", "price")
-      val cust = (0 until 50).map(i => (i, s"cust$i")).toDF("custkey", "name")
+      val cust = (0 until 12).map(i => (i, s"cust$i")).toDF("custkey", "name")
       orders.write.mode("overwrite").bucketBy(8, "custkey")
         .sortBy("custkey").saveAsTable("b_orders")
       cust.write.mode("overwrite").bucketBy(8, "custkey")
@@ -21,7 +25,7 @@ class ScaleSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle, got:\n${plan.take(800)}")
-      assert(joined.count() == 1000)
+      assert(joined.count() == 120)
       // unbucketed baseline DOES shuffle
       val plain = orders.join(cust, "custkey")
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
