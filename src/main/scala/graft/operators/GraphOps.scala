@@ -158,12 +158,23 @@ object GraphOps {
    */
   def bfsLevels(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
                 reliable: Boolean = false): DataFrame = {
-    // persisted: every BFS iteration joins the frontier against the edge
-    // list, and without the persist each iteration re-derives it from
-    // source (for the gate graphs that includes a full distinct shuffle
-    // per iteration). Pure cache, released by the caller's Caches scope.
-    val e = graft.core.Caches.track(edges.select(col("src"), col("target"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // loop-invariant edge frame, joined on `src` by every BFS iteration:
+    // materialized ONCE (r18 persisted it so iterations stop re-deriving
+    // it from source; r19 additionally pins it to a declared hash(src)
+    // layout via a sized re-checkpoint, so the per-iteration frontier
+    // join never re-shuffles the edge side again — at corpus scale that
+    // was one full edge shuffle per BFS level). Blocks released after
+    // the loop: the returned `levels` references only frontier leaves.
+    val e0 = chk(edges.select(col("src"), col("target")), reliable)
+    val nE = math.max(1, leafN(e0))
+    val e =
+      if (leafN(e0) <= 1) declared(e0, Seq("src"), 1)
+      else {
+        val d = declared(chk(e0.repartition(nE, col("src")), reliable),
+          Seq("src"), nE)
+        release(e0)
+        d
+      }
     var levels = roots.select(col("node_id")).distinct()
       .withColumn("level", lit(0))
     var frontier = levels
@@ -192,6 +203,7 @@ object GraphOps {
     if (!done)
       graft.core.Log.warn(s"bfsLevels stopped at maxIter=$maxIter with a " +
         "non-empty frontier; nodes deeper than that are missing levels")
+    release(e)
     levels
   }
 
@@ -342,10 +354,20 @@ object GraphOps {
     // the doubling self-join's left side and the final layout repartition
     // move data — jobs per round drop from ~9 to ~4 and the corpus-sized
     // edge view is never shuffled again after setup (guide §2.4).
-    val nSym = leafN(sym0)
-    val sym = declared(chk(sym0.repartition(nSym, col("b")), reliable),
-      Seq("b"), nSym)
-    release(sym0)
+    // N == 1 fast path: a single-partition frame trivially satisfies ANY
+    // hash partitioning (all rows co-located), so tiny/derived graphs —
+    // the dedup-CC family's case — get the declared layout for free
+    // instead of paying a second materialization (measured: the rechk
+    // cost the small-CC gates 10-25% while buying nothing)
+    val nSym = math.max(1, leafN(sym0))
+    val sym =
+      if (leafN(sym0) <= 1) declared(sym0, Seq("b"), 1)
+      else {
+        val s = declared(chk(sym0.repartition(nSym, col("b")), reliable),
+          Seq("b"), nSym)
+        release(sym0)
+        s
+      }
     // node set from the `b` side (sym is symmetric, so {a} == {b}): the
     // leaf is already hash(b)-partitioned, making the distinct free
     val labels0 = declared(chk(
@@ -390,16 +412,25 @@ object GraphOps {
       // every round, including the last allowed one: a loop that exits
       // at maxIter while labels are still moving has NON-MINIMAL labels
       // — components silently split (same contract as ancestorClosure).
-      val (next, changed2) = chkWithMetric(hopped.join(
+      val hop2 = hopped.join(
           hopped.select(col("node_id").as("component"),
             col("component").as("__cc__")),
           Seq("component"), "left")
         .select(col("node_id"),
           coalesce(col("__cc__"), col("component")).as("component"),
           (coalesce(col("__cc__"), col("component")) < col("__old__")).as("__chg__"))
-        .repartition(nSym, col("node_id")),
+      // at nSym == 1 the layout repartition is a pure extra shuffle of the
+      // label set (AQE coalesces the self-join output to one partition
+      // anyway, and a 1-partition leaf is declarable as-is); above 1 it
+      // replaces the labels-side and frontier-side exchanges of the NEXT
+      // round, a net win of one exchange per round
+      val (next, changed2) = chkWithMetric(
+        if (nSym > 1) hop2.repartition(nSym, col("node_id")) else hop2,
         sum(when(col("__chg__"), 1L).otherwise(0L)), reliable)
-      val nextD = declared(next, Seq("node_id"), nSym)
+      val nextD =
+        if (nSym > 1) declared(next, Seq("node_id"), nSym)
+        else if (leafN(next) == 1) declared(next, Seq("node_id"), 1)
+        else next
       // `next` is materialized (checkpoint is eager) with truncated
       // lineage — the intra-round cache and the superseded label frame
       // are dead weight now; without the release up to ~2*maxIter block
@@ -451,7 +482,21 @@ object GraphOps {
    */
   def forwardPaths(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
                    reliable: Boolean = false): DataFrame = {
-    val e = edges.select(col("src"), col("target"))
+    // loop-invariant edge frame: previously re-SCANNED from source and
+    // re-shuffled by the join every round; checkpointed once on a
+    // declared hash(src) layout (r19) so rounds neither recompute nor
+    // re-shuffle it. Released after the loop — the returned `paths` is
+    // its own checkpoint leaf.
+    val e0 = chk(edges.select(col("src"), col("target")), reliable)
+    val nE = math.max(1, leafN(e0))
+    val e =
+      if (leafN(e0) <= 1) declared(e0, Seq("src"), 1)
+      else {
+        val d = declared(chk(e0.repartition(nE, col("src")), reliable),
+          Seq("src"), nE)
+        release(e0)
+        d
+      }
     val base = chk(roots.select(col("node_id")).distinct()
       .withColumn("n_paths", lit(1L)), reliable)
     // recompute counts from scratch each round: paths_i(v) = [v is root]
@@ -485,6 +530,7 @@ object GraphOps {
     if (!done)
       graft.core.Log.warn(s"forwardPaths stopped at maxIter=$maxIter before " +
         "fixpoint; counts for nodes deeper than that are incomplete")
+    release(e)
     paths
   }
 
@@ -610,10 +656,17 @@ object GraphOps {
     // DECLARED on the leaf, so the per-hop joins stop re-shuffling it
     val fwd0 = chk(e.filter(col("src") =!= col("target"))
       .join(backEdges, Seq("src", "target"), "left_anti"), reliable)
-    val nF = leafN(fwd0)
-    val fwd = declared(chk(fwd0.repartition(nF, col("target")), reliable),
-      Seq("target"), nF)
-    release(fwd0)
+    // N == 1 fast path: a 1-partition leaf satisfies any hash layout
+    // as-is — skip the second materialization on small graphs
+    val nF = math.max(1, leafN(fwd0))
+    val fwd =
+      if (leafN(fwd0) <= 1) declared(fwd0, Seq("target"), 1)
+      else {
+        val f = declared(chk(fwd0.repartition(nF, col("target")), reliable),
+          Seq("target"), nF)
+        release(fwd0)
+        f
+      }
     val fwdClosure = ancestorClosure(fwd, maxIter, reliable)
 
     val srcPaths = fwdClosure.groupBy(col("node_id").as("target"))

@@ -45,6 +45,11 @@ object bridge {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
+        // an EMPTY frame can materialize to a 0-partition RDD; declaring a
+        // positive partition count on it would break the planner's
+        // co-partitioned zip assumptions — leave it undeclared (the empty
+        // frame costs nothing to shuffle anyway)
+        if (lr.rdd.getNumPartitions == 0) return df
         val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"withDeclaredHashPartitioning: column '$c' not in ${lr.output.map(_.name)}")))
